@@ -1,0 +1,195 @@
+"""Batched k-mer extraction, canonicalization and hashing on device.
+
+The reference walks each sequence k-mer-at-a-time on the CPU
+(``src/mash/Sketch.cpp:512-583``: uppercase pass, reverse complement,
+bad-character skipping, canonical ``min(fwd, revcomp)`` by ``memcmp``, then
+MurmurHash3 per k-mer).  Here the same semantics become a fixed-shape array
+program: every window position of a chunk is processed in parallel on the
+VPU, invalid windows (containing non-alphabet bytes, padding, or sequence
+separators) are masked instead of skipped, and the per-k-mer hash is a fully
+unrolled MurmurHash3 over packed 64-bit words.
+
+Chunking contract (host side, see ``mash_tpu.core.engine``):
+- sequences are concatenated with a 0x00 separator byte between records;
+  0x00 is never in an alphabet, so windows crossing record boundaries are
+  automatically invalid — the same trick the reference's ``screen`` uses
+  with ``*`` separators (``src/mash/CommandScreen.cpp:258-261``);
+- consecutive chunks of one stream overlap by k-1 bytes so no window is
+  lost at a chunk boundary;
+- the tail chunk is padded with 0x00.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mash_tpu.hashing.murmur3 import mmh3_words_x64_128
+
+# DNA complement for bytes 'A'..'Z', exactly the reference's table
+# (``src/mash/Sketch.cpp:1071-1098``).  Ambiguity codes map to their
+# IUPAC complements; non-IUPAC letters map to 'N'.
+_COMPLEMENT_AZ = "TVGHNNCDNNMNKNNNNYSAABWNRN"
+
+
+def complement_lut() -> np.ndarray:
+    """256-entry byte -> complement-byte table (0 for non-letters).
+
+    Only uppercase A-Z get complements, matching the reference where the
+    uppercase pass runs before ``reverseComplement``
+    (``src/mash/Sketch.cpp:524-537``).  Bytes outside A-Z produce 0, which
+    is never in an alphabet, so any window containing them is masked.
+    """
+    lut = np.zeros(256, dtype=np.uint8)
+    for i, c in enumerate(_COMPLEMENT_AZ):
+        lut[ord("A") + i] = ord(c)
+    return lut
+
+
+def alphabet_lut(alphabet: tuple) -> np.ndarray:
+    """256-entry 0/1 table from a ``SketchParams.alphabet`` tuple."""
+    return np.asarray(alphabet, dtype=np.uint8)
+
+
+def uppercase(seq, preserve_case: bool):
+    """Uppercase pass replicating ``Sketch.cpp:524-530``.
+
+    The reference compares ``char`` (signed), so bytes >= 0x80 are negative
+    and never shifted; we replicate by testing the int8 view.
+    """
+    if preserve_case:
+        return seq
+    signed = seq.astype(jnp.int8)
+    lower = (signed > 96) & (signed < 123)
+    return jnp.where(lower, seq - jnp.uint8(32), seq)
+
+
+def window_valid(ok, k: int):
+    """valid[i] = all(ok[i:i+k]) for i in [0, L-k], via cumulative sums."""
+    c = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
+    head = c[..., k - 1 :]
+    tail = jnp.pad(c[..., :-k], [(0, 0)] * (c.ndim - 1) + [(1, 0)])
+    return (head - tail) == k
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "use64", "noncanonical", "preserve_case"),
+)
+def hash_chunk(
+    seq,
+    alpha_lut,
+    comp_lut,
+    *,
+    k: int,
+    seed: int,
+    use64: bool,
+    noncanonical: bool,
+    preserve_case: bool,
+):
+    """Hash every k-mer window of ``seq``.
+
+    Args:
+      seq: uint8 array ``[..., L]`` of sequence bytes (with separators /
+        padding as 0x00).
+      alpha_lut: uint8 ``[256]`` alphabet membership.
+      comp_lut: uint8 ``[256]`` complement table (``complement_lut()``).
+      k: static k-mer size (1..32).
+      seed: hash seed (uint32 semantics).
+      use64: keep 64-bit hashes; otherwise low 32 bits
+        (``src/mash/hash.cpp:21-35``).
+      noncanonical: skip canonicalization (strand-specific).
+      preserve_case: skip the uppercase pass.
+
+    Returns:
+      ``(hashes, valid)`` with shape ``[..., L-k+1]``: uint64 hash per
+      window and a bool mask of windows whose bytes are all in the
+      alphabet.
+    """
+    assert 1 <= k <= 32, k
+    L = seq.shape[-1]
+    n = L - k + 1
+    assert n >= 1, (L, k)
+
+    seq = uppercase(seq, preserve_case)
+    ok = jnp.take(alpha_lut, seq.astype(jnp.int32), axis=0) != 0
+    valid = window_valid(ok, k)
+
+    def window_bytes_fwd(j):
+        return seq[..., j : j + n]
+
+    if noncanonical:
+        choose_fwd = None
+    else:
+        comp = jnp.take(comp_lut, seq.astype(jnp.int32), axis=0)
+
+        def window_bytes_rev(j):
+            # rc k-mer byte j = complement(seq[i + k-1-j])
+            return comp[..., k - 1 - j : k - 1 - j + n]
+
+        # memcmp(fwd, rev) <= 0 ranking, folded last byte first
+        # (``Sketch.cpp:569-571``).
+        cmp = jnp.zeros(seq.shape[:-1] + (n,), dtype=jnp.int8)
+        for j in reversed(range(k)):
+            f = window_bytes_fwd(j)
+            r = window_bytes_rev(j)
+            cmp = jnp.where(
+                f < r, jnp.int8(-1), jnp.where(f > r, jnp.int8(1), cmp)
+            )
+        choose_fwd = cmp <= 0
+
+    nwords = (k + 7) // 8
+    words = []
+    for m in range(nwords):
+        wf = jnp.zeros(seq.shape[:-1] + (n,), dtype=jnp.uint64)
+        wr = None if noncanonical else jnp.zeros_like(wf)
+        for j in range(8 * m, min(8 * m + 8, k)):
+            shift = jnp.uint64(8 * (j - 8 * m))
+            wf = wf | (window_bytes_fwd(j).astype(jnp.uint64) << shift)
+            if not noncanonical:
+                wr = wr | (window_bytes_rev(j).astype(jnp.uint64) << shift)
+        if noncanonical:
+            words.append(wf)
+        else:
+            words.append(jnp.where(choose_fwd, wf, wr))
+
+    h1, _ = mmh3_words_x64_128(words, k, jnp.uint64(seed), xp=jnp)
+    if not use64:
+        h1 = h1 & jnp.uint64(0xFFFFFFFF)
+    return h1, valid
+
+
+# ---------------------------------------------------------------------------
+# Host-side oracle used by tests: the straightforward per-k-mer walk.
+# ---------------------------------------------------------------------------
+
+def hash_sequence_py(seq: bytes, params) -> list:
+    """Reference-semantics k-mer walk (oracle for tests).
+
+    Replicates ``addMinHashes`` (``src/mash/Sketch.cpp:512-583``): uppercase,
+    bad-char skip, canonical min(fwd, revcomp), MurmurHash3.  Returns the
+    hash of every valid window in order.
+    """
+    from mash_tpu.hashing.murmur3 import hash_kmer_py
+
+    k = params.kmer_size
+    if not params.preserve_case:
+        seq = bytes(c - 32 if 96 < c < 123 else c for c in seq)
+    comp = complement_lut()
+    rev = bytes(comp[c] for c in reversed(seq))
+    out = []
+    n = len(seq)
+    for i in range(n - k + 1):
+        kmer_fwd = seq[i : i + k]
+        if not all(params.alphabet[c] for c in kmer_fwd):
+            continue
+        if params.noncanonical:
+            kmer = kmer_fwd
+        else:
+            kmer_rev = rev[n - i - k : n - i]
+            kmer = kmer_fwd if kmer_fwd <= kmer_rev else kmer_rev
+        out.append(hash_kmer_py(kmer, params.seed, params.use64))
+    return out

@@ -1,0 +1,150 @@
+"""Bottom-s MinHash selection as fixed-shape sort/merge array programs.
+
+The reference maintains the s smallest *distinct* k-mer hashes (with
+multiplicities) in a heap + hash-map (``src/mash/MinHashHeap.cpp:68-146``,
+``HashSet.cpp``, ``HashPriorityQueue.h``).  Selecting the bottom s distinct
+values is associative and commutative, so on TPU it becomes:
+
+  per chunk:   sort -> run-detect -> scatter first s distinct (+ counts)
+  across chunks/devices:  merge two states by concat -> sort -> re-dedupe
+
+which makes sketch construction embarrassingly parallel over chunks *and*
+over devices (states merge with the same operator after an ``all_gather``).
+
+Counts produced here are **total occurrence counts** of each surviving hash
+(order-independent).  The reference's streaming heap can count slightly
+differently for hashes that sit exactly at the heap boundary while it is
+full (an occurrence equal to the current heap maximum is not counted,
+``MinHashHeap.cpp:68-74``), and its ``-m``/``-b`` noise-filter gating is
+stream-order dependent.  The sketch *hash set* itself is identical for the
+default ``min_cov == 1`` path.  An exact-streaming host fallback is provided
+in ``mash_tpu.core.exact_heap`` for byte-parity of ``-m``/``-b`` modes.
+
+State representation: ``(hashes[s] uint64 ascending, counts[s] int64)``,
+empty slots have ``counts == 0`` and hash ``EMPTY`` (2^64-1; real hashes
+with that value are still tracked correctly because emptiness is defined by
+``counts == 0``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+EMPTY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def empty_state(s: int):
+    """An empty bottom-s sketch state."""
+    return (
+        jnp.full((s,), EMPTY, dtype=jnp.uint64),
+        jnp.zeros((s,), dtype=jnp.int64),
+    )
+
+
+def _fold_sorted(hs, cs, s: int):
+    """Bottom-s distinct (+summed counts) of an ascending hash array.
+
+    Args:
+      hs: uint64 ``[L]`` ascending; entries with ``cs == 0`` are ignored
+        (they must have been mapped to ``EMPTY`` so they sort last).
+      cs: int64 ``[L]`` counts aligned with ``hs``.
+      s: static sketch size.
+
+    Returns:
+      ``(H[s], C[s])`` state.
+    """
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), hs[1:] != hs[:-1]]
+    )
+    seg = jnp.cumsum(is_new.astype(jnp.int64))  # 1-based distinct rank
+    excl = jnp.cumsum(cs) - cs                  # exclusive count prefix
+    total = excl[-1] + cs[-1]
+
+    # Run-start exclusive prefixes: E[j] for run j, default 'total' so that
+    # counts of absent runs are 0 and the last run is closed correctly.
+    idx_e = jnp.where(is_new & (seg <= s + 1), seg - 1, s + 1)
+    E = jnp.full((s + 2,), total, dtype=jnp.int64).at[idx_e].set(excl)
+    C = E[1 : s + 1] - E[0:s]
+
+    idx_h = jnp.where(is_new & (seg <= s), seg - 1, s)
+    H = jnp.full((s + 1,), EMPTY, dtype=jnp.uint64).at[idx_h].set(hs)
+    H = H[:s]
+    H = jnp.where(C > 0, H, EMPTY)
+    C = jnp.maximum(C, 0)
+    return H, C
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def sketch_chunk(hashes, valid, *, s: int):
+    """Bottom-s distinct hashes (+occurrence counts) of one hashed chunk.
+
+    Args:
+      hashes: uint64 ``[n]`` window hashes (``ops.kmers.hash_chunk``).
+      valid: bool ``[n]`` window validity mask.
+      s: static sketch size.
+    """
+    h = jnp.where(valid, hashes, EMPTY)
+    c = valid.astype(jnp.int64)
+    h, c = jax.lax.sort((h, c), num_keys=1)
+    return _fold_sorted(h, c, s)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def merge_states(state_a, state_b, *, s: int):
+    """Merge two bottom-s states (associative + commutative)."""
+    ha, ca = state_a
+    hb, cb = state_b
+    h = jnp.concatenate([ha, hb])
+    c = jnp.concatenate([ca, cb])
+    h, c = jax.lax.sort((h, c), num_keys=1)
+    return _fold_sorted(h, c, s)
+
+
+@functools.partial(jax.jit, static_argnames=("s",))
+def tree_merge(states_h, states_c, *, s: int):
+    """Merge ``[B, s]`` stacked states into one state.
+
+    A single concat+sort is cheaper than a log-depth tree for the sizes at
+    play (B*s elements).
+    """
+    h = states_h.reshape(-1)
+    c = states_c.reshape(-1)
+    h, c = jax.lax.sort((h, c), num_keys=1)
+    return _fold_sorted(h, c, s)
+
+
+def state_stats(state):
+    """(size, max_hash, multiplicity_sum) of a state, as host scalars.
+
+    Mirrors the quantities behind the reference's estimators
+    (``MinHashHeap.h:44-45``): ``size`` = heap fill, ``max_hash`` = heap
+    top, ``multiplicity_sum`` = sum of stored multiplicities.
+    """
+    h, c = state
+    filled = c > 0
+    size = int(jnp.sum(filled))
+    if size == 0:
+        return 0, 0, 0
+    mx = int(h[size - 1])
+    msum = int(jnp.sum(c))
+    return size, mx, msum
+
+
+def estimate_set_size(state, use64: bool = True) -> float:
+    """Distinct-element cardinality estimate (``MinHashHeap.h:45``)."""
+    size, mx, _ = state_stats(state)
+    if size == 0:
+        return 0.0
+    bits = 64.0 if use64 else 32.0
+    return (2.0 ** bits) * size / float(mx)
+
+
+def estimate_multiplicity(state) -> float:
+    """Average k-mer multiplicity estimate (``MinHashHeap.h:44``)."""
+    size, _, msum = state_stats(state)
+    if size == 0:
+        return 0.0
+    return msum / size

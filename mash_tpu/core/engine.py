@@ -1,0 +1,214 @@
+"""Host-side orchestration: stream sequence bytes through device kernels.
+
+Replaces the reference's ThreadPool-of-workers architecture
+(``src/mash/ThreadPool.h``, ``Sketch.cpp:1147-1336``) with a streaming
+chunk pipeline: sequences are concatenated with 0x00 separators, cut into
+fixed-shape overlapping chunks, hashed and bottom-s-reduced on device, and
+folded into a running sketch state with the associative merge.  Because the
+fold is associative and commutative, the same code path scales from one
+chip to a mesh (chunks sharded over devices, states merged collectively).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mash_tpu.core.params import SketchParams
+from mash_tpu.core.sketch import SketchRef
+from mash_tpu.ops import sketch_ops
+from mash_tpu.ops.kmers import alphabet_lut, complement_lut, hash_chunk
+
+DEFAULT_CHUNK = 1 << 20
+# Pad small inputs to one of these lengths to bound recompilation.
+_BUCKETS = (1 << 12, 1 << 14, 1 << 16, 1 << 18, DEFAULT_CHUNK)
+
+
+def chunk_stream(
+    seqs: Iterable[bytes], k: int, chunk_len: int
+) -> Iterator[Tuple[bytes, int]]:
+    """Cut a stream of sequences into overlapping fixed-size chunks.
+
+    Sequences are separated by a 0x00 byte (never in an alphabet, so
+    cross-sequence windows are masked, like the reference ``screen``'s
+    ``*`` separators).  Consecutive chunks overlap by k-1 bytes so no
+    window is lost.  Yields ``(chunk_bytes, used_len)``; the final chunk
+    may be shorter than ``chunk_len``.
+    """
+    buf = bytearray()
+    step = chunk_len - (k - 1)
+    assert step > 0
+    first = True
+    for seq in seqs:
+        if not first:
+            buf.append(0)
+        first = False
+        buf += seq
+        while len(buf) >= chunk_len:
+            yield bytes(buf[:chunk_len]), chunk_len
+            del buf[:step]
+    if len(buf) >= k:
+        yield bytes(buf), len(buf)
+
+
+class SketchEngine:
+    """Compiled sketching pipeline for one parameter signature."""
+
+    def __init__(
+        self,
+        params: SketchParams,
+        chunk_len: int = DEFAULT_CHUNK,
+        device: Optional[jax.Device] = None,
+    ):
+        self.params = params
+        self.chunk_len = chunk_len
+        self.device = device
+        self._alpha = jnp.asarray(alphabet_lut(params.alphabet))
+        self._comp = jnp.asarray(complement_lut())
+        self._folds = {}
+
+    # -- compiled steps ------------------------------------------------------
+
+    def _fold_fn(self, length: int):
+        """state, chunk[length] -> state, compiled per padded length."""
+        if length in self._folds:
+            return self._folds[length]
+        p = self.params
+        s = p.sketch_size
+
+        @jax.jit
+        def fold(state, chunk):
+            h, v = hash_chunk(
+                chunk,
+                self._alpha,
+                self._comp,
+                k=p.kmer_size,
+                seed=p.seed,
+                use64=p.use64,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+            )
+            st = sketch_ops.sketch_chunk(h, v, s=s)
+            return sketch_ops.merge_states(state, st, s=s)
+
+        self._folds[length] = fold
+        return fold
+
+    def _bucket(self, n: int) -> int:
+        for b in _BUCKETS:
+            if n <= b:
+                return b
+        return ((n + self.chunk_len - 1) // self.chunk_len) * self.chunk_len
+
+    # -- public API ----------------------------------------------------------
+
+    def empty_state(self):
+        return sketch_ops.empty_state(self.params.sketch_size)
+
+    def fold_chunk(self, state, chunk: bytes):
+        """Fold one raw chunk (any length >= k) into the sketch state."""
+        bucket = self._bucket(len(chunk))
+        if len(chunk) < bucket:
+            chunk = chunk + b"\x00" * (bucket - len(chunk))
+        arr = jnp.asarray(np.frombuffer(chunk, dtype=np.uint8))
+        if self.device is not None:
+            arr = jax.device_put(arr, self.device)
+        return self._fold_fn(bucket)(state, arr)
+
+    def sketch_seqs(self, seqs: Iterable[bytes]):
+        """Sketch a stream of sequences into one bottom-s state."""
+        state = self.empty_state()
+        for chunk, used in chunk_stream(
+            seqs, self.params.kmer_size, self.chunk_len
+        ):
+            state = self.fold_chunk(state, chunk[:used])
+        return state
+
+    def state_to_ref(
+        self,
+        state,
+        name: str = "",
+        comment: str = "",
+        length: int = 0,
+    ) -> SketchRef:
+        """Materialize a device state into a host SketchRef."""
+        h = np.asarray(state[0])
+        c = np.asarray(state[1])
+        n = int((c > 0).sum())
+        return SketchRef(
+            name=name,
+            comment=comment,
+            length=length,
+            hashes=h[:n].astype(np.uint64),
+            counts=c[:n].astype(np.uint32),
+            counts_sorted=True,
+        )
+
+    def estimate_set_size(self, state) -> float:
+        return sketch_ops.estimate_set_size(state, self.params.use64)
+
+    def estimate_multiplicity(self, state) -> float:
+        return sketch_ops.estimate_multiplicity(state)
+
+
+# ---------------------------------------------------------------------------
+# Record-level sketching with the reference's naming rules.
+# ---------------------------------------------------------------------------
+
+def sketch_records_concat(
+    engine: SketchEngine,
+    records,
+    file_name: str,
+    is_stdin: bool = False,
+):
+    """Sketch a whole file/stream of records into one SketchRef.
+
+    Replicates ``sketchFile`` (``src/mash/Sketch.cpp:1147-1336``): records
+    shorter than k are skipped; name is the file name (or the first record
+    name for stdin); the comment is the first record's header, wrapped with
+    "[N seqs] ... [...]" when several records contribute.
+    """
+    p = engine.params
+    k = p.kmer_size
+    state = engine.empty_state()
+    count = 0
+    total_len = 0
+    name = "" if is_stdin else file_name
+    comment = ""
+    skipped = False
+
+    def gen():
+        nonlocal count, total_len, name, comment, skipped
+        for rec in records:
+            if len(rec.seq) < k:
+                skipped = True
+                continue
+            if count == 0:
+                if is_stdin:
+                    name = rec.name
+                    comment = rec.comment or ""
+                else:
+                    comment = rec.name + " " + (rec.comment or "")
+            count += 1
+            if not p.reads:
+                total_len += len(rec.seq)
+            yield rec.seq
+
+    for chunk, used in chunk_stream(gen(), k, engine.chunk_len):
+        state = engine.fold_chunk(state, chunk[:used])
+
+    if p.reads:
+        if p.genome_size != 0:
+            total_len = p.genome_size
+        else:
+            total_len = int(engine.estimate_set_size(state))
+
+    if count > 1:
+        comment = "[%d seqs] %s [...]" % (count, comment)
+
+    ref = engine.state_to_ref(state, name, comment, total_len)
+    return ref, state, count, skipped

@@ -1,0 +1,125 @@
+"""Streaming FASTA/FASTQ reader (gzip-transparent).
+
+Functional equivalent of the reference's vendored ``kseq.h`` (Heng Li's
+parser macro over ``gzread``): records expose ``name`` (up to the first
+whitespace), ``comment`` (remainder of the header line) and the sequence
+bytes; FASTA sequences may span lines; FASTQ quality is read and discarded.
+Reading from ``-`` means stdin.  This is host I/O and stays off-device.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import sys
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+
+@dataclass
+class Record:
+    name: str
+    comment: str
+    seq: bytes
+
+    def __len__(self) -> int:
+        return len(self.seq)
+
+
+def _open_stream(path: str):
+    """Open ``path`` (or stdin for '-') with transparent gzip decoding."""
+    if path == "-":
+        raw = sys.stdin.buffer
+    else:
+        raw = open(path, "rb")
+    head = raw.peek(2) if hasattr(raw, "peek") else b""
+    if not hasattr(raw, "peek"):
+        raw = io.BufferedReader(raw)
+        head = raw.peek(2)
+    if head[:2] == b"\x1f\x8b":
+        return gzip.open(raw, "rb")
+    return raw
+
+
+def read_fastx(path: str) -> Iterator[Record]:
+    """Yield records from a FASTA or FASTQ file (gzipped or not)."""
+    stream = _open_stream(path)
+    try:
+        yield from parse_fastx(stream)
+    finally:
+        if path != "-":
+            stream.close()
+
+
+def parse_fastx(stream) -> Iterator[Record]:
+    """Parse an open binary stream of FASTA or FASTQ records."""
+    line = stream.readline()
+    # skip leading blank lines
+    while line and line.strip() == b"":
+        line = stream.readline()
+    while line:
+        marker = line[:1]
+        if marker == b">":
+            header = line[1:].rstrip(b"\r\n")
+            parts = []
+            line = stream.readline()
+            while line and line[:1] not in (b">", b"@"):
+                s = line.strip()
+                if s:
+                    parts.append(s)
+                line = stream.readline()
+            yield _make_record(header, b"".join(parts))
+        elif marker == b"@":
+            header = line[1:].rstrip(b"\r\n")
+            parts = []
+            line = stream.readline()
+            while line and line[:1] != b"+":
+                parts.append(line.strip())
+                line = stream.readline()
+            seq = b"".join(parts)
+            # quality: read as many bytes as the sequence
+            qlen = 0
+            line = stream.readline()
+            while line and qlen < len(seq):
+                qlen += len(line.strip())
+                line = stream.readline()
+            yield _make_record(header, seq)
+        else:
+            # Garbage line outside a record; mirror kseq by scanning for
+            # the next marker.
+            line = stream.readline()
+
+
+def _make_record(header: bytes, seq: bytes) -> Record:
+    header_s = header.decode("utf-8", "replace")
+    if not header_s:
+        return Record("", "", seq)
+    # kseq: name = up to first whitespace, comment = remainder (after the
+    # single separator character).
+    for i, ch in enumerate(header_s):
+        if ch in " \t":
+            return Record(header_s[:i], header_s[i + 1 :], seq)
+    return Record(header_s, "", seq)
+
+
+def read_fastx_multi(paths, round_robin: bool = False) -> Iterator[Record]:
+    """Read several files; optionally round-robin one record per file.
+
+    The reference's reads mode interleaves records round-robin across all
+    input files (``src/mash/Sketch.cpp:1200-1270``); bottom-s selection is
+    order-independent so the default is sequential, but round-robin is
+    available for exact-streaming parity paths.
+    """
+    if not round_robin:
+        for p in paths:
+            yield from read_fastx(p)
+        return
+    iters = [read_fastx(p) for p in paths]
+    while iters:
+        nxt = []
+        for it in iters:
+            rec: Optional[Record] = next(it, None)
+            if rec is not None:
+                yield rec
+                nxt.append(it)
+        iters = nxt

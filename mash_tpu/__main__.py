@@ -1,0 +1,69 @@
+"""Top-level CLI dispatch (reference ``mash.cpp`` + ``CommandList.cpp``).
+
+Usage: ``python -m mash_tpu <command> [options]`` or the ``mash-tpu``
+console script.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from mash_tpu._version import COMPAT_VERSION, __version__
+from mash_tpu.commands import command_registry
+
+
+def print_top_level_help(commands) -> None:
+    out = sys.stdout
+    out.write("\n")
+    out.write("mash-tpu %s (Mash %s compatible; TPU-native)\n" % (
+        __version__, COMPAT_VERSION))
+    out.write("\n")
+    out.write("Type 'mash-tpu --license' for license and copyright "
+              "information.\n")
+    out.write("\n")
+    out.write("Usage:\n\n")
+    out.write("   mash-tpu <command> [options] [arguments ...]\n\n")
+    out.write("Commands:\n\n")
+    width = max(len(name) for name in commands) + 3
+    for name, cls in commands.items():
+        out.write("   %-*s%s\n" % (width, name, cls.summary))
+    out.write("\n")
+
+
+def print_license() -> None:
+    sys.stdout.write(
+        "mash-tpu: a from-scratch TPU-native reimplementation of the "
+        "capabilities of\nMash %s (https://github.com/marbl/Mash). "
+        "Mash itself is distributed under the\nBNBI license; this "
+        "implementation shares no code with it.\n" % COMPAT_VERSION
+    )
+
+
+def main(argv=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    commands = command_registry()
+
+    if not argv:
+        print_top_level_help(commands)
+        return 0
+    if argv[0] == "--version":
+        sys.stdout.write("%s\n" % COMPAT_VERSION)
+        return 0
+    if argv[0] == "--license":
+        print_license()
+        return 0
+    if argv[0] not in commands:
+        sys.stderr.write("ERROR: Unrecognized command: '%s'\n" % argv[0])
+        print_top_level_help(commands)
+        return 1
+
+    command = commands[argv[0]]()
+    try:
+        return command.parse(argv[1:])
+    except BrokenPipeError:
+        return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,139 @@
+"""Options -> SketchParams translation (``sketchParameterSetup.cpp``).
+
+Implements the implication/conflict rules: -b/-m/-c/-g imply -r; -r forbids
+-i; protein implies -n and k=9 (unless -k given); custom alphabets imply
+-n; -b excludes -m (``sketchParameterSetup.cpp:15-105``).
+
+One deliberate deviation: the reference's head code marks reads-mode
+sketches as carrying counts (``-r`` implying ``-M``), but its own golden
+test outputs (``test/ref/reads.json``) contain no counts section, so here
+counts are stored only when ``-M`` is given explicitly; estimates that need
+multiplicities still work (they are tracked in memory regardless).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+from mash_tpu.core.params import (
+    ALPHABET_NUCLEOTIDE,
+    ALPHABET_PROTEIN,
+    SketchParams,
+)
+
+
+def sketch_parameter_setup(command) -> SketchParams | None:
+    """Build params from a command's options; None on error (exit code 1)."""
+    p = SketchParams()
+    err = sys.stderr
+
+    p.kmer_size = int(command.get_option("kmer").get_argument_as_number())
+    p.min_hashes_per_window = int(
+        command.get_option("sketchSize").get_argument_as_number()
+    )
+    p.concatenated = not command.get_option("individual").active
+    p.noncanonical = command.get_option("noncanonical").active
+    p.seed = int(command.get_option("seed").get_argument_as_number())
+    p.reads = command.get_option("reads").active
+    p.min_cov = int(command.get_option("minCov").get_argument_as_number())
+    p.target_cov = command.get_option("targetCov").get_argument_as_number()
+    if command.has_option("windowed"):
+        p.windowed = command.get_option("windowed").active
+        p.window_size = int(
+            command.get_option("window").get_argument_as_number()
+        )
+        p.concatenated = False
+    p.parallelism = int(
+        command.get_option("threads").get_argument_as_number()
+    )
+    p.preserve_case = command.get_option("case").active
+
+    if command.has_option("warning"):
+        p.warning = command.get_option("warning").get_argument_as_number()
+
+    if command.get_option("memory").active:
+        p.reads = True
+        p.memory_bound = int(
+            command.get_option("memory").get_argument_as_number()
+        )
+        if command.get_option("minCov").active:
+            err.write("ERROR: The option m cannot be used with b.\n")
+            return None
+
+    if (
+        command.get_option("minCov").active
+        or command.get_option("targetCov").active
+    ):
+        p.reads = True
+
+    if command.get_option("genome").active:
+        p.reads = True
+        p.genome_size = int(
+            command.get_option("genome").get_argument_as_number()
+        )
+
+    if command.has_option("counts") and command.get_option("counts").active:
+        p.counts = True
+
+    if p.reads and command.get_option("threads").active:
+        err.write("WARNING: The option p will be ignored with r.\n")
+
+    if p.reads and not p.concatenated:
+        err.write("ERROR: The option i cannot be used with r.\n")
+        return None
+
+    if p.concatenated and p.windowed:
+        err.write("ERROR: c and W are incompatible.\n")
+        return None
+
+    if command.get_option("protein").active:
+        p.noncanonical = True
+        p.set_alphabet(ALPHABET_PROTEIN)
+        if not command.get_option("kmer").active:
+            p.kmer_size = 9
+            p.set_alphabet(ALPHABET_PROTEIN)
+    elif command.get_option("alphabet").active:
+        p.noncanonical = True
+        p.set_alphabet(command.get_option("alphabet").argument)
+    else:
+        p.set_alphabet(ALPHABET_NUCLEOTIDE)
+
+    return p
+
+
+def warn_kmer_size(
+    params,
+    command,
+    length_max: int,
+    length_max_name: str,
+    random_chance: float,
+    k_min: int,
+    warning_count: int,
+) -> None:
+    """Low-k warning text (``sketchParameterSetup.cpp:107-125``)."""
+    err = sys.stderr
+    err.write(
+        "\nWARNING: For the k-mer size used (%d), the random match "
+        "probability (%g) is above the specified warning threshold (%g) "
+        'for the sequence "%s" of size %d'
+        % (
+            params.kmer_size,
+            random_chance,
+            params.warning,
+            length_max_name,
+            length_max,
+        )
+    )
+    if warning_count > 1:
+        err.write(" (and %d others)" % (warning_count - 1))
+    err.write(
+        ". Distances to %s may be underestimated as a result. To meet the "
+        "threshold of %g, a k-mer size of at least %d is required. "
+        "See: -k, -w.\n\n"
+        % (
+            "this sequence" if warning_count == 1 else "these sequences",
+            params.warning,
+            k_min,
+        )
+    )

@@ -1,0 +1,257 @@
+"""``mash taxscreen`` (reference ``CommandTaxScreen.cpp``).
+
+Same streaming containment pipeline as ``screen`` (shared device kernels),
+followed by per-hash LCA assignment and a Kraken-style clade report.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+
+from mash_tpu.cli.command import Command, Option
+from mash_tpu.commands.screen import _packed_chunks, _pad_to_bucket
+from mash_tpu.core.loader import (
+    SUFFIX_SKETCH,
+    has_suffix,
+    init_from_files,
+)
+from mash_tpu.core.params import ALPHABET_PROTEIN, SketchParams
+from mash_tpu.io.fastx import read_fastx_multi
+from mash_tpu.ops import screen_ops, sketch_ops
+from mash_tpu.taxonomy import TaxCounts, TaxDB, rollup_counts
+
+
+class CommandTaxScreen(Command):
+    name = "taxscreen"
+    summary = "Create Kraken-style taxonomic report based on mash screen."
+    description = (
+        "Create Kraken-style taxonomic report based on how well query "
+        "sequences are contained within a pool of sequences. The queries "
+        "must be formatted as a single Mash sketch file (.msh), created "
+        "with the `mash sketch` command. The <pool> files can be contigs "
+        "or reads, in fasta or fastq, gzipped or not, and \"-\" can be "
+        "given for <pool> to read from standard input. The <pool> "
+        "sequences are assumed to be nucleotides, and will be 6-frame "
+        "translated if the <queries> are amino acids. The output fields "
+        "are [total percent of hashes, number of contained hashes in the "
+        "clade, number of contained hashes in the taxon, total number of "
+        "hashes in the clade, total number of hashes in the taxon, rank, "
+        "taxonomy ID, padded name]."
+    )
+    argument_string = "<queries>.msh <pool> [<pool>] ..."
+
+    def __init__(self):
+        super().__init__()
+        self.use_option("help")
+        self.use_option("threads")
+        self.add_option(
+            "identity",
+            Option(
+                Option.NUMBER,
+                "i",
+                "Output",
+                "Minimum identity to report. Inclusive unless set to zero, "
+                "in which case only identities greater than zero (i.e. "
+                "with at least one shared hash) will be reported. Set to "
+                "-1 to output everything.",
+                "0",
+                -1.0,
+                1.0,
+            ),
+        )
+        self.add_option(
+            "pvalue",
+            Option(
+                Option.NUMBER,
+                "v",
+                "Output",
+                "Maximum p-value to report.",
+                "1.0",
+                0.0,
+                1.0,
+            ),
+        )
+        self.add_option(
+            "mapping-file",
+            Option(
+                Option.STRING,
+                "m",
+                "",
+                "Mapping file from reference name to taxonomy ID",
+                "",
+            ),
+        )
+        self.add_option(
+            "taxonomy-dir",
+            Option(
+                Option.STRING,
+                "t",
+                "",
+                "Directory containing NCBI taxonomy dump",
+                ".",
+            ),
+        )
+
+    def run(self) -> int:
+        if len(self.arguments) < 2 or self.get_option("help").active:
+            self.print_help()
+            return 0
+
+        err = sys.stderr
+        out = sys.stdout
+        if not has_suffix(self.arguments[0], SUFFIX_SKETCH):
+            err.write(
+                "ERROR: %s does not look like a sketch (.msh)\n"
+                % self.arguments[0]
+            )
+            raise SystemExit(1)
+
+        taxonomy_dir = self.get_option("taxonomy-dir").argument
+        mapping_file = self.get_option("mapping-file").argument
+
+        params = SketchParams()
+        sketch = init_from_files([self.arguments[0]], params)
+        params.parallelism = int(
+            self.get_option("threads").get_argument_as_number()
+        )
+        params.kmer_size = sketch.params.kmer_size
+        params.noncanonical = sketch.params.noncanonical
+        params.preserve_case = sketch.params.preserve_case
+        params.seed = sketch.params.seed
+        params.min_hashes_per_window = (
+            sketch.params.min_hashes_per_window
+        )
+        params.set_alphabet(sketch.params.alphabet_string())
+        trans = sketch.params.alphabet_string() == ALPHABET_PROTEIN
+
+        names_dump = os.path.join(taxonomy_dir, "names.dmp")
+        nodes_dump = os.path.join(taxonomy_dir, "nodes.dmp")
+        if not os.path.exists(names_dump) or not os.path.exists(nodes_dump):
+            err.write(
+                "Could not find a file names.dmp or nodes.dmp in directory "
+                "%s\n To download the required taxonomy files into the "
+                "current directory, use the following commands:\n"
+                "   wget ftp://ftp.ncbi.nih.gov/pub/taxonomy/"
+                "taxdump.tar.gz\n   tar xvvf taxdump.tar.gz\n\n"
+                % taxonomy_dir
+            )
+            raise SystemExit(1)
+        err.write("Loading taxonomy files ...\n")
+        taxdb = TaxDB(names_dump, nodes_dump)
+
+        err.write("Reading mapping file ...\n")
+        refs = sketch.references
+        reference_tax_ids = [0] * len(refs)
+        if mapping_file:
+            ref_tax_map = {}
+            with open(mapping_file) as f:
+                for line in f:
+                    parts = line.rstrip("\n").split(None, 1)
+                    if len(parts) == 2:
+                        ref_tax_map[parts[1]] = int(parts[0])
+            for i, ref in enumerate(refs):
+                reference_tax_ids[i] = ref_tax_map.get(ref.name, 0)
+        for i, ref in enumerate(refs):
+            if reference_tax_ids[i] == 0:
+                words = ref.comment.split()
+                for w, nxt in zip(words, words[1:]):
+                    if w == "taxid":
+                        try:
+                            reference_tax_ids[i] = int(nxt)
+                        except ValueError:
+                            pass
+            if reference_tax_ids[i] == 0:
+                err.write(
+                    "Could not find taxID for reference %s in comment "
+                    "field or mapping file!\n" % ref.name
+                )
+
+        err.write("Loading %s...\n" % self.arguments[0])
+        db_hashes, seg_starts, ref_ids = screen_ops.build_db_table(
+            [r.hashes for r in refs]
+        )
+        err.write("   %d distinct hashes.\n" % len(db_hashes))
+
+        n_inputs = len(self.arguments) - 1
+        err.write(
+            "%s%s...\n"
+            % (
+                "Translating from " if trans else "Streaming from ",
+                self.arguments[1]
+                if n_inputs == 1
+                else "%d inputs" % n_inputs,
+            )
+        )
+
+        s = params.min_hashes_per_window
+        k = params.kmer_size
+        db_dev = jnp.asarray(db_hashes)
+        fold = screen_ops.make_screen_fold(params, db_dev, s)
+        counts_dev = jnp.zeros((len(db_hashes) + 1,), dtype=jnp.int64)
+        state = sketch_ops.empty_state(s)
+
+        records = read_fastx_multi(self.arguments[1:], round_robin=True)
+        chunk_len = 1 << 20
+        saw_any = False
+        for raw in _packed_chunks(records, k, chunk_len):
+            saw_any = True
+            if trans:
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                arr = np.where(
+                    (arr > 96) & (arr < 123), arr - 32, arr
+                ).astype(np.uint8)
+                for frame in screen_ops.translate_frames(arr):
+                    if len(frame) < k:
+                        continue
+                    padded = _pad_to_bucket(frame.tobytes(), chunk_len)
+                    counts_dev, state = fold(
+                        counts_dev,
+                        state,
+                        jnp.asarray(np.frombuffer(padded, np.uint8)),
+                    )
+            else:
+                padded = _pad_to_bucket(raw, chunk_len)
+                counts_dev, state = fold(
+                    counts_dev,
+                    state,
+                    jnp.asarray(np.frombuffer(padded, np.uint8)),
+                )
+        if not saw_any:
+            err.write("\nERROR: Did not find sequence records in inputs\n")
+            raise SystemExit(1)
+
+        set_size = int(
+            sketch_ops.estimate_set_size(state, params.use64)
+        )
+        err.write(
+            "   Estimated distinct%s k-mers in pool: %d\n"
+            % (" (translated)" if trans else "", set_size)
+        )
+        if set_size == 0:
+            err.write("WARNING: no valid k-mers in input.\n")
+
+        err.write("Assigning LCA taxIDs to hashes ...\n")
+        counts_host = np.asarray(counts_dev)[: len(db_hashes)]
+        min_cov = 1
+        tax_ids_arr = np.array(reference_tax_ids, dtype=np.int64)
+
+        counts: dict = {}
+        seg_len = np.diff(seg_starts)
+        for h_idx in range(len(db_hashes)):
+            lca = 0
+            for e in range(seg_starts[h_idx], seg_starts[h_idx + 1]):
+                lca = taxdb.lca(int(tax_ids_arr[ref_ids[e]]), lca)
+            tc = counts.setdefault(lca, TaxCounts())
+            tc.tax_hash_count += 1
+            if counts_host[h_idx] >= min_cov:
+                tc.tax_count += 1
+
+        total_count, total_hash_count = rollup_counts(taxdb, counts)
+
+        err.write("Writing output...\n")
+        taxdb.write_report(out, counts, total_count, total_hash_count)
+        return 0

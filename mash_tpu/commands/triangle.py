@@ -1,0 +1,218 @@
+"""``mash triangle`` (reference ``CommandTriangle.cpp``).
+
+All-vs-all lower-triangle distances.  The pair space is tiled through the
+same device intersection kernel as ``dist``; output is relaxed PHYLIP or an
+edge list.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from mash_tpu.cli.command import Command, Option, split_file
+from mash_tpu.cli.setup import sketch_parameter_setup, warn_kmer_size
+from mash_tpu.core import stats
+from mash_tpu.core.loader import init_from_files
+from mash_tpu.io.formatting import cpp_double
+from mash_tpu.ops.distance import common_denom_tiled, pad_sketches
+
+
+class CommandTriangle(Command):
+    name = "triangle"
+    summary = "Estimate a lower-triangular distance matrix."
+    description = (
+        "Estimate the distance of each input sequence to every other "
+        "input sequence. Outputs a lower-triangular distance matrix in "
+        "relaxed Phylip format. The input sequences can be fasta or "
+        "fastq, gzipped or not, or Mash sketch files (.msh) with matching "
+        "k-mer sizes. Input files can also be files of file names (see "
+        "-l). If more than one input file is provided, whole files are "
+        "compared by default (see -i)."
+    )
+    argument_string = "<seq1> [<seq2>] ..."
+
+    def __init__(self):
+        super().__init__()
+        self.use_option("help")
+        self.add_option(
+            "list",
+            Option(
+                Option.BOOLEAN,
+                "l",
+                "Input",
+                "List input. Lines in each <query> specify paths to "
+                "sequence files, one per line. The reference file is not "
+                "affected.",
+                "",
+            ),
+        )
+        self.add_option(
+            "comment",
+            Option(
+                Option.BOOLEAN,
+                "C",
+                "Output",
+                "Use comment fields for sequence names instead of IDs.",
+                "",
+            ),
+        )
+        self.add_option(
+            "edge",
+            Option(
+                Option.BOOLEAN,
+                "E",
+                "Output",
+                "Output edge list instead of Phylip matrix, with fields "
+                "[seq1, seq2, dist, p-val, shared-hashes].",
+                "",
+            ),
+        )
+        self.add_option(
+            "pvalue",
+            Option(
+                Option.NUMBER,
+                "v",
+                "Output",
+                "Maximum p-value to report in edge list. Implies -E.",
+                "1.0",
+                0.0,
+                1.0,
+            ),
+        )
+        self.add_option(
+            "distance",
+            Option(
+                Option.NUMBER,
+                "d",
+                "Output",
+                "Maximum distance to report in edge list. Implies -E.",
+                "1.0",
+                0.0,
+                1.0,
+            ),
+        )
+        self.use_sketch_options()
+
+    def run(self) -> int:
+        if len(self.arguments) < 1 or self.get_option("help").active:
+            self.print_help()
+            return 0
+
+        err = sys.stderr
+        out = sys.stdout
+        comment = self.get_option("comment").active
+        edge = self.get_option("edge").active
+        pvalue_max = self.get_option("pvalue").get_argument_as_number()
+        distance_max = self.get_option("distance").get_argument_as_number()
+        if (
+            self.get_option("pvalue").active
+            or self.get_option("distance").active
+        ):
+            edge = True
+
+        params = sketch_parameter_setup(self)
+        if params is None:
+            return 1
+        if len(self.arguments) == 1 and not self.get_option("list").active:
+            params.concatenated = False
+
+        query_files = []
+        for arg in self.arguments:
+            if self.get_option("list").active:
+                query_files.extend(split_file(arg))
+            else:
+                query_files.append(arg)
+
+        sketch = init_from_files(query_files, params)
+
+        length_threshold = (
+            params.warning * params.kmer_space / (1.0 - params.warning)
+        )
+        warning_count = 0
+        length_max = 0
+        length_max_name = ""
+        random_chance = 0.0
+        k_min = 0
+        for i, ref in enumerate(sketch.references):
+            if ref.length > length_threshold:
+                if warning_count == 0 or ref.length > length_max:
+                    length_max = ref.length
+                    length_max_name = ref.name
+                    random_chance = sketch.random_kmer_chance(i)
+                    k_min = sketch.min_kmer_size(i)
+                warning_count += 1
+
+        refs = sketch.references
+        n = len(refs)
+        if not edge:
+            out.write("\t%d\n" % n)
+            out.write(
+                (refs[0].comment if comment else refs[0].name) + "\n"
+            )
+
+        cap = sketch.params.min_hashes_per_window
+        width = max(
+            cap, max((len(r.hashes) for r in refs), default=1)
+        )
+        H, N = pad_sketches([r.hashes for r in refs], width)
+        common, denom = common_denom_tiled(H, N, H, N, cap)
+
+        k = sketch.params.kmer_size
+        kmer_space = sketch.params.kmer_space
+        dist = stats.mash_distance_array(common, denom, k)
+        lengths = np.array(
+            [r.length for r in refs], dtype=np.float64
+        )
+        pvals = stats.pair_pvalue_array(
+            common, lengths[None, :], lengths[:, None], kmer_space, denom
+        )
+
+        pvalue_peak = 0.0
+        for i in range(1, n):
+            ri = refs[i]
+            if not edge:
+                out.write(ri.comment if comment else ri.name)
+            for j in range(i):
+                d = float(dist[i, j])
+                p = float(pvals[i, j])
+                if edge:
+                    passed = not (
+                        (distance_max >= 0 and d > distance_max)
+                        or (pvalue_max >= 0 and p > pvalue_max)
+                    )
+                    if passed:
+                        rj = refs[j]
+                        out.write(
+                            "%s\t%s\t%s\t%s\t%d/%d\n"
+                            % (
+                                ri.comment if comment else ri.name,
+                                rj.comment if comment else rj.name,
+                                cpp_double(d),
+                                cpp_double(p),
+                                int(common[i, j]),
+                                int(denom[i, j]),
+                            )
+                        )
+                else:
+                    out.write("\t" + cpp_double(d))
+                if p > pvalue_peak:
+                    pvalue_peak = p
+            if not edge:
+                out.write("\n")
+
+        if not edge:
+            err.write("Max p-value: %s\n" % cpp_double(pvalue_peak))
+
+        if warning_count > 0 and not params.reads:
+            warn_kmer_size(
+                params,
+                self,
+                length_max,
+                length_max_name,
+                random_chance,
+                k_min,
+                warning_count,
+            )
+        return 0

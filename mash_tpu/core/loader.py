@@ -1,0 +1,186 @@
+"""Building SketchSets from mixed inputs (.msh files or sequence files).
+
+Equivalent of ``Sketch::initFromFiles`` / ``initFromReads``
+(``src/mash/Sketch.cpp:96-253``): sketch files are parameter-checked,
+adopted (first file, unless parameters are enforced) and loaded with
+truncation; sequence files are sketched per-file (concatenated) or
+per-record (individual mode) through the device engine.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import List, Optional
+
+from mash_tpu.core.engine import SketchEngine, sketch_records_concat
+from mash_tpu.core.params import SketchParams
+from mash_tpu.core.sketch import (
+    SketchRef,
+    SketchSet,
+    check_compatibility,
+)
+from mash_tpu.io import capnp_msh
+from mash_tpu.io.fastx import read_fastx, read_fastx_multi
+
+SUFFIX_SKETCH = ".msh"
+SUFFIX_SKETCH_WINDOWED = ".msw"
+
+
+def has_suffix(path: str, suffix: str) -> bool:
+    return path.endswith(suffix)
+
+
+def is_sketch_file(path: str, windowed: bool = False) -> bool:
+    return has_suffix(
+        path, SUFFIX_SKETCH_WINDOWED if windowed else SUFFIX_SKETCH
+    )
+
+
+def adopt_params_from_msh(params: SketchParams, path: str) -> int:
+    """Adopt header parameters from a sketch file; returns reference count.
+
+    Mirrors ``Sketch::initParametersFromCapnp`` (``Sketch.cpp:255-324``):
+    copies k, error, sketch size, window size, flags, seed, counts presence
+    and alphabet into ``params``.
+    """
+    other, n = capnp_msh.read_msh_header(path)
+    params.kmer_size = other.kmer_size
+    params.error = other.error
+    params.min_hashes_per_window = other.min_hashes_per_window
+    params.window_size = other.window_size
+    params.concatenated = other.concatenated
+    params.noncanonical = other.noncanonical
+    params.preserve_case = other.preserve_case
+    params.counts = other.counts
+    params.seed = other.seed
+    params.set_alphabet(other.alphabet_string())
+    return n
+
+
+def init_from_files(
+    files: List[str],
+    params: SketchParams,
+    verbosity: int = 0,
+    enforce_parameters: bool = False,
+    contain: bool = False,
+    engine: Optional[SketchEngine] = None,
+) -> SketchSet:
+    """Load/sketch every input into one SketchSet (``Sketch::initFromFiles``).
+
+    Parameter adoption from the first ``.msh`` file mutates only the
+    SketchSet's own parameter copy, never the caller's ``params`` — the
+    reference's Sketch copies ``parametersNew`` into a member before
+    adopting (``Sketch.cpp:107,124``), and commands explicitly inherit the
+    fields they want afterwards.
+    """
+    params = params.copy()
+    sketch_set = SketchSet(params)
+    err = sys.stderr
+
+    for i, path in enumerate(files):
+        if is_sketch_file(path, params.windowed):
+            other, _ = capnp_msh.read_msh_header(path)
+            if i == 0 and not enforce_parameters:
+                adopt_params_from_msh(params, path)
+            if not check_compatibility(
+                params, other, path, enforce_size=not contain
+            ):
+                continue
+            msh = capnp_msh.read_msh(
+                path, max_hashes=params.min_hashes_per_window
+            )
+            for ref in msh.references:
+                sketch_set.add(ref)
+        else:
+            if engine is None:
+                engine = SketchEngine(params)
+            if verbosity > 0:
+                if path == "-":
+                    err.write("Sketching from stdin...\n")
+                else:
+                    err.write("Sketching %s...\n" % path)
+            if params.concatenated:
+                records = read_fastx(path)
+                ref, _state, count, skipped = sketch_records_concat(
+                    engine, records, path, is_stdin=(path == "-")
+                )
+                if ref.length == 0:
+                    if skipped:
+                        err.write(
+                            "\nWARNING: All fasta records in %s were "
+                            "shorter than the k-mer size (%d).\n"
+                            % (path, params.kmer_size)
+                        )
+                    else:
+                        err.write(
+                            '\nERROR: Did not find fasta records in '
+                            '"%s".\n' % path
+                        )
+                    raise SystemExit(1)
+                sketch_set.add(ref)
+            else:
+                # individual mode: one sketch per record
+                # (``sketchFileBySequence`` + ``sketchSequence``)
+                any_record = False
+                for rec in read_fastx(path):
+                    if len(rec.seq) < params.kmer_size:
+                        continue
+                    any_record = True
+                    state = engine.sketch_seqs([rec.seq])
+                    sketch_set.add(
+                        engine.state_to_ref(
+                            state,
+                            rec.name,
+                            rec.comment or "",
+                            len(rec.seq),
+                        )
+                    )
+                if not any_record:
+                    err.write("\nERROR: reading %s.\n" % path)
+                    raise SystemExit(1)
+    return sketch_set
+
+
+def init_from_reads(
+    files: List[str],
+    params: SketchParams,
+    engine: Optional[SketchEngine] = None,
+) -> SketchSet:
+    """Reads mode: one pooled sketch over all files (``initFromReads``)."""
+    if engine is None:
+        engine = SketchEngine(params)
+    sketch_set = SketchSet(params)
+    records = read_fastx_multi(files, round_robin=True)
+    first_name = files[0] if files and files[0] != "-" else ""
+    ref, state, count, skipped = sketch_records_concat(
+        engine, records, first_name, is_stdin=(first_name == "")
+    )
+    if ref.length == 0:
+        if skipped:
+            sys.stderr.write(
+                "\nWARNING: All fasta records in input files were shorter "
+                "than the k-mer size (%d).\n" % params.kmer_size
+            )
+        else:
+            sys.stderr.write(
+                '\nERROR: Did not find fasta records in "input files".\n'
+            )
+        raise SystemExit(1)
+    sketch_set.add(ref)
+    sys.stderr.write(
+        "Estimated genome size: %s\n"
+        % _cpp_sci(engine.estimate_set_size(state))
+    )
+    sys.stderr.write(
+        "Estimated coverage:    %s\n"
+        % _cpp_sci(engine.estimate_multiplicity(state))
+    )
+    if params.target_cov > 0:
+        sys.stderr.write("Reads used:            %d\n" % count)
+    return sketch_set
+
+
+def _cpp_sci(x: float) -> str:
+    from mash_tpu.io.formatting import cpp_double
+
+    return cpp_double(x)

@@ -1,0 +1,247 @@
+"""Streaming containment (``mash screen``) device kernels.
+
+The reference builds a hash->refs table plus an atomic hash->count map and
+streams every k-mer of the mixture through them
+(``src/mash/CommandScreen.cpp:93-116, 484-599``).  Here the DB becomes one
+sorted distinct hash array (+ CSR segments to reference indices, built on
+host); each streamed chunk is hashed on device, membership-tested with a
+binary search and counted with a scatter-add, while the same chunk feeds
+the bottom-s fold used for the distinct-k-mer cardinality estimate.  All
+counting is total-occurrence based, which matches the reference exactly
+(its counts are plain atomic increments).
+
+Multi-device: shard ``db_hashes``/``counts`` by range over the mesh; each
+chunk is broadcast, each shard counts its own range, and per-ref tallies
+``psum`` at the end (see ``mash_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mash_tpu.ops import sketch_ops
+from mash_tpu.ops.kmers import hash_chunk
+
+
+def build_db_table(hash_lists: List[np.ndarray]):
+    """Sorted distinct DB hashes + CSR (hash -> reference indices).
+
+    Equivalent of the reference's ``hashTable``/``hashCounts`` build
+    (``CommandScreen.cpp:99-114``), as arrays:
+
+    Returns (db_hashes[H], seg_starts[H+1], ref_ids[sum(sizes)]).
+    """
+    if not hash_lists:
+        return (
+            np.empty(0, np.uint64),
+            np.zeros(1, np.int64),
+            np.empty(0, np.int32),
+        )
+    all_h = np.concatenate([np.asarray(h, np.uint64) for h in hash_lists])
+    ids = np.concatenate(
+        [
+            np.full(len(h), i, dtype=np.int32)
+            for i, h in enumerate(hash_lists)
+        ]
+    )
+    order = np.argsort(all_h, kind="stable")
+    sh = all_h[order]
+    sids = ids[order]
+    uniq, starts = np.unique(sh, return_index=True)
+    seg_starts = np.concatenate([starts, [len(sh)]]).astype(np.int64)
+    return uniq, seg_starts, sids
+
+
+def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
+    """Compile a (counts, state, chunk) -> (counts, state) fold step."""
+    from mash_tpu.ops.kmers import alphabet_lut, complement_lut
+
+    alpha = jnp.asarray(alphabet_lut(params.alphabet))
+    comp = jnp.asarray(complement_lut())
+    k = params.kmer_size
+    seed = params.seed
+    use64 = params.use64
+    noncanonical = params.noncanonical
+    preserve_case = params.preserve_case
+    Hn = db_hashes.shape[0]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fold(counts, state, chunk):
+        h, v = hash_chunk(
+            chunk,
+            alpha,
+            comp,
+            k=k,
+            seed=seed,
+            use64=use64,
+            noncanonical=noncanonical,
+            preserve_case=preserve_case,
+        )
+        if Hn > 0:
+            idx = jnp.searchsorted(db_hashes, h)
+            at = jnp.minimum(idx, Hn - 1)
+            hit = v & (idx < Hn) & (db_hashes[at] == h)
+            counts = counts.at[jnp.where(hit, idx, Hn)].add(
+                1, mode="drop", indices_are_sorted=False
+            )
+        st = sketch_ops.sketch_chunk(h, v, s=s)
+        state = sketch_ops.merge_states(state, st, s=s)
+        return counts, state
+
+    return fold
+
+
+def tally_shared(
+    counts: np.ndarray,
+    seg_starts: np.ndarray,
+    ref_ids: np.ndarray,
+    n_refs: int,
+    min_cov: int = 1,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Per-reference shared-hash counts and depth lists.
+
+    Vectorized version of the tally loop (``CommandScreen.cpp:338-355``):
+    for every DB hash with count >= min_cov, each reference containing it
+    gains one shared hash and records the hash's depth.
+    """
+    hit = counts >= min_cov
+    # expand hash-level hit/count to CSR entries
+    seg_len = np.diff(seg_starts)
+    entry_hit = np.repeat(hit, seg_len)
+    entry_count = np.repeat(counts, seg_len)
+    sel = entry_hit
+    refs_hit = ref_ids[sel]
+    depths_flat = entry_count[sel]
+    shared = np.bincount(refs_hit, minlength=n_refs).astype(np.int64)
+    depths: List[np.ndarray] = [
+        np.empty(0, dtype=np.int64) for _ in range(n_refs)
+    ]
+    if len(refs_hit):
+        order = np.argsort(refs_hit, kind="stable")
+        refs_sorted = refs_hit[order]
+        depths_sorted = depths_flat[order]
+        starts = np.searchsorted(refs_sorted, np.arange(n_refs + 1))
+        for r in range(n_refs):
+            depths[r] = depths_sorted[starts[r] : starts[r + 1]]
+    return shared, depths
+
+
+def winner_takes_all(
+    counts: np.ndarray,
+    seg_starts: np.ndarray,
+    ref_ids: np.ndarray,
+    scores: np.ndarray,
+    lengths: np.ndarray,
+    min_cov: int = 1,
+) -> Tuple[np.ndarray, List[np.ndarray]]:
+    """Reassign each shared hash to its best-scoring reference.
+
+    Replicates ``CommandScreen.cpp:357-407``: ties broken by larger
+    reference length; the first CSR entry wins remaining ties, matching
+    the reference's strict ``>`` comparisons over its (insertion-ordered)
+    set iteration.  Note the reference iterates a ``robin_hood`` set whose
+    order for equal (score, length) pairs is unspecified; such full ties
+    are output-identical anyway because the winner's identity only matters
+    when scores or lengths differ.
+    """
+    n_refs = len(scores)
+    hit = counts >= min_cov
+    seg_len = np.diff(seg_starts)
+    entry_hit = np.repeat(hit, seg_len)
+    entry_score = scores[ref_ids]
+    entry_length = lengths[ref_ids]
+    # rank = (score, length); select argmax per segment
+    hash_idx = np.repeat(np.arange(len(counts)), seg_len)
+    # order by (hash, score desc, length desc) then pick first per hash
+    order = np.lexsort(
+        (-entry_length, -entry_score, hash_idx)
+    )
+    oh = hash_idx[order]
+    first = np.unique(oh, return_index=True)[1]
+    win_entries = order[first]
+    sel = entry_hit[win_entries]
+    winners = ref_ids[win_entries][sel]
+    win_counts = np.repeat(counts, seg_len)[win_entries][sel]
+    shared = np.bincount(winners, minlength=n_refs).astype(np.int64)
+    depths: List[np.ndarray] = [
+        np.empty(0, dtype=np.int64) for _ in range(n_refs)
+    ]
+    if len(winners):
+        order2 = np.argsort(winners, kind="stable")
+        ws = winners[order2]
+        ds = win_counts[order2]
+        starts = np.searchsorted(ws, np.arange(n_refs + 1))
+        for r in range(n_refs):
+            depths[r] = ds[starts[r] : starts[r + 1]]
+    return shared, depths
+
+
+# ---------------------------------------------------------------------------
+# 6-frame translation (protein-DB screens), host-side vectorized.
+# ---------------------------------------------------------------------------
+
+_CODON_TABLE = {}
+
+
+def _codon_lut() -> np.ndarray:
+    """64-entry codon->amino-acid LUT (standard genetic code, matching the
+    reference's ``aaFromCodon`` switch, ``CommandScreen.cpp:625-809``)."""
+    bases = "ACGT"
+    aa = (
+        "KNKNTTTTRSRSIIMI"  # A??
+        "QHQHPPPPRRRRLLLL"  # C??
+        "EDEDAAAAGGGGVVVV"  # G??
+        "*Y*YSSSS*CWCLFLF"  # T??
+    )
+    lut = np.full(64, ord("*"), dtype=np.uint8)
+    for i0 in range(4):
+        for i1 in range(4):
+            for i2 in range(4):
+                lut[i0 * 16 + i1 * 4 + i2] = ord(aa[i0 * 16 + i1 * 4 + i2])
+    return lut
+
+
+_CODON_LUT = _codon_lut()
+
+_BASE_CODE = np.full(256, -1, dtype=np.int8)
+for _i, _b in enumerate(b"ACGT"):
+    _BASE_CODE[_b] = _i
+
+
+def translate_frames(chunk: np.ndarray) -> List[np.ndarray]:
+    """All six translation frames of an uppercased uint8 chunk.
+
+    Order matches the reference (``hashSequence``): frames 0,1,2 forward
+    then 0,1,2 of the reverse complement of the whole chunk.  Invalid
+    codons (containing non-ACGT bytes, including separators) become ``*``.
+    """
+    from mash_tpu.ops.kmers import complement_lut
+
+    comp = complement_lut()
+    rev = comp[chunk[::-1]]
+    out = []
+    for src in (chunk, rev):
+        codes = _BASE_CODE[src]
+        for frame in range(3):
+            n = (len(src) - frame) // 3
+            if n <= 0:
+                out.append(np.empty(0, dtype=np.uint8))
+                continue
+            c0 = codes[frame : frame + 3 * n : 3]
+            c1 = codes[frame + 1 : frame + 1 + 3 * n : 3]
+            c2 = codes[frame + 2 : frame + 2 + 3 * n : 3]
+            valid = (c0 >= 0) & (c1 >= 0) & (c2 >= 0)
+            idx = (
+                c0.astype(np.int32) * 16
+                + c1.astype(np.int32) * 4
+                + c2.astype(np.int32)
+            )
+            aa = np.where(valid, _CODON_LUT[np.clip(idx, 0, 63)], ord("*"))
+            out.append(aa.astype(np.uint8))
+    # reorder to fwd0,fwd1,fwd2,rev0,rev1,rev2 == reference's i=0..5
+    return out

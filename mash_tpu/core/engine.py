@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from mash_tpu.core.params import SketchParams
 from mash_tpu.core.sketch import SketchRef
 from mash_tpu.ops import sketch_ops
-from mash_tpu.ops.kmers import alphabet_lut, complement_lut, hash_chunk
+from mash_tpu.ops.kmers import alphabet_bytes, hash_chunk
 
 DEFAULT_CHUNK = 1 << 20
 # Pad small inputs to one of these lengths to bound recompilation.
@@ -67,8 +67,7 @@ class SketchEngine:
         self.params = params
         self.chunk_len = chunk_len
         self.device = device
-        self._alpha = jnp.asarray(alphabet_lut(params.alphabet))
-        self._comp = jnp.asarray(complement_lut())
+        self._alpha = alphabet_bytes(params.alphabet)
         self._folds = {}
 
     # -- compiled steps ------------------------------------------------------
@@ -84,8 +83,7 @@ class SketchEngine:
         def fold(state, chunk):
             h, v = hash_chunk(
                 chunk,
-                self._alpha,
-                self._comp,
+                alphabet=self._alpha,
                 k=p.kmer_size,
                 seed=p.seed,
                 use64=p.use64,

@@ -9,6 +9,15 @@ VPU, invalid windows (containing non-alphabet bytes, padding, or sequence
 separators) are masked instead of skipped, and the per-k-mer hash is a fully
 unrolled MurmurHash3 over packed 64-bit words.
 
+TPU-specific design notes:
+- no gathers: alphabet membership and complementation are compare/select
+  chains over the (static, small) alphabet — table lookups via ``take``
+  are an order of magnitude slower than |alphabet| elementwise compares;
+- window validity is a log-doubling sliding AND (5 steps for k<=32)
+  instead of a cumsum scan;
+- the byte length k is static, so MurmurHash3's block/tail structure
+  unrolls into straight-line u64 ops (XLA emulates u64 with u32 pairs).
+
 Chunking contract (host side, see ``mash_tpu.core.engine``):
 - sequences are concatenated with a 0x00 separator byte between records;
   0x00 is never in an alphabet, so windows crossing record boundaries are
@@ -35,13 +44,20 @@ from mash_tpu.hashing.murmur3 import mmh3_words_x64_128
 _COMPLEMENT_AZ = "TVGHNNCDNNMNKNNNNYSAABWNRN"
 
 
+def complement_byte(c: int) -> int:
+    """Complement of one uppercase byte (0 if not a letter)."""
+    if ord("A") <= c <= ord("Z"):
+        return ord(_COMPLEMENT_AZ[c - ord("A")])
+    return 0
+
+
 def complement_lut() -> np.ndarray:
     """256-entry byte -> complement-byte table (0 for non-letters).
 
     Only uppercase A-Z get complements, matching the reference where the
     uppercase pass runs before ``reverseComplement``
-    (``src/mash/Sketch.cpp:524-537``).  Bytes outside A-Z produce 0, which
-    is never in an alphabet, so any window containing them is masked.
+    (``src/mash/Sketch.cpp:524-537``).  Kept for host-side oracles; the
+    device path uses select chains instead.
     """
     lut = np.zeros(256, dtype=np.uint8)
     for i, c in enumerate(_COMPLEMENT_AZ):
@@ -52,6 +68,11 @@ def complement_lut() -> np.ndarray:
 def alphabet_lut(alphabet: tuple) -> np.ndarray:
     """256-entry 0/1 table from a ``SketchParams.alphabet`` tuple."""
     return np.asarray(alphabet, dtype=np.uint8)
+
+
+def alphabet_bytes(alphabet: tuple) -> tuple:
+    """Static tuple of member byte values from an alphabet table."""
+    return tuple(i for i in range(256) if alphabet[i])
 
 
 def uppercase(seq, preserve_case: bool):
@@ -68,22 +89,32 @@ def uppercase(seq, preserve_case: bool):
 
 
 def window_valid(ok, k: int):
-    """valid[i] = all(ok[i:i+k]) for i in [0, L-k], via cumulative sums."""
-    c = jnp.cumsum(ok.astype(jnp.int32), axis=-1)
-    head = c[..., k - 1 :]
-    tail = jnp.pad(c[..., :-k], [(0, 0)] * (c.ndim - 1) + [(1, 0)])
-    return (head - tail) == k
+    """valid[i] = all(ok[i:i+k]) via log-doubling sliding AND."""
+    n = ok.shape[-1] - k + 1
+    acc = ok
+    width = 1  # acc[i] == all(ok[i:i+width])
+    while width < k:
+        step = min(width, k - width)
+        acc = acc[..., : acc.shape[-1] - step] & acc[..., step:]
+        width += step
+    return acc[..., :n]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "use64", "noncanonical", "preserve_case"),
+    static_argnames=(
+        "alphabet",
+        "k",
+        "seed",
+        "use64",
+        "noncanonical",
+        "preserve_case",
+    ),
 )
 def hash_chunk(
     seq,
-    alpha_lut,
-    comp_lut,
     *,
+    alphabet: tuple,
     k: int,
     seed: int,
     use64: bool,
@@ -95,8 +126,7 @@ def hash_chunk(
     Args:
       seq: uint8 array ``[..., L]`` of sequence bytes (with separators /
         padding as 0x00).
-      alpha_lut: uint8 ``[256]`` alphabet membership.
-      comp_lut: uint8 ``[256]`` complement table (``complement_lut()``).
+      alphabet: static tuple of member byte values (``alphabet_bytes``).
       k: static k-mer size (1..32).
       seed: hash seed (uint32 semantics).
       use64: keep 64-bit hashes; otherwise low 32 bits
@@ -115,7 +145,14 @@ def hash_chunk(
     assert n >= 1, (L, k)
 
     seq = uppercase(seq, preserve_case)
-    ok = jnp.take(alpha_lut, seq.astype(jnp.int32), axis=0) != 0
+
+    # alphabet membership: |alphabet| compares (no gather)
+    ok = None
+    for c in alphabet:
+        eq = seq == jnp.uint8(c)
+        ok = eq if ok is None else (ok | eq)
+    if ok is None:
+        ok = jnp.zeros(seq.shape, dtype=bool)
     valid = window_valid(ok, k)
 
     def window_bytes_fwd(j):
@@ -123,8 +160,17 @@ def hash_chunk(
 
     if noncanonical:
         choose_fwd = None
+        comp = None
     else:
-        comp = jnp.take(comp_lut, seq.astype(jnp.int32), axis=0)
+        # complement via select chain over alphabet characters only;
+        # non-alphabet bytes map to 0 (their windows are masked anyway)
+        comp = jnp.zeros_like(seq)
+        for c in alphabet:
+            comp = jnp.where(
+                seq == jnp.uint8(c),
+                jnp.uint8(complement_byte(c)),
+                comp,
+            )
 
         def window_bytes_rev(j):
             # rc k-mer byte j = complement(seq[i + k-1-j])
@@ -150,7 +196,9 @@ def hash_chunk(
             shift = jnp.uint64(8 * (j - 8 * m))
             wf = wf | (window_bytes_fwd(j).astype(jnp.uint64) << shift)
             if not noncanonical:
-                wr = wr | (window_bytes_rev(j).astype(jnp.uint64) << shift)
+                wr = wr | (
+                    window_bytes_rev(j).astype(jnp.uint64) << shift
+                )
         if noncanonical:
             words.append(wf)
         else:

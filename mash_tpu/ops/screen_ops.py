@@ -59,10 +59,9 @@ def build_db_table(hash_lists: List[np.ndarray]):
 
 def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     """Compile a (counts, state, chunk) -> (counts, state) fold step."""
-    from mash_tpu.ops.kmers import alphabet_lut, complement_lut
+    from mash_tpu.ops.kmers import alphabet_bytes
 
-    alpha = jnp.asarray(alphabet_lut(params.alphabet))
-    comp = jnp.asarray(complement_lut())
+    alpha = alphabet_bytes(params.alphabet)
     k = params.kmer_size
     seed = params.seed
     use64 = params.use64
@@ -74,8 +73,7 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     def fold(counts, state, chunk):
         h, v = hash_chunk(
             chunk,
-            alpha,
-            comp,
+            alphabet=alpha,
             k=k,
             seed=seed,
             use64=use64,

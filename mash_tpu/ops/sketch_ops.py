@@ -56,22 +56,29 @@ def _fold_sorted(hs, cs, s: int):
     Returns:
       ``(H[s], C[s])`` state.
     """
+    L = hs.shape[0]
     is_new = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), hs[1:] != hs[:-1]]
     )
-    seg = jnp.cumsum(is_new.astype(jnp.int64))  # 1-based distinct rank
-    excl = jnp.cumsum(cs) - cs                  # exclusive count prefix
+    # Positions of the first s+1 run starts, found with top_k over negated
+    # positions (a 1M-element scatter into s slots is pathologically slow
+    # on TPU; top_k is a fast built-in partial sort).
+    iota = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)[:, 0]
+    big = jnp.int32(2**30)
+    keys = jnp.where(is_new, iota, big)
+    pos = -jax.lax.top_k(-keys, min(s + 1, L))[0]  # ascending run starts
+    if s + 1 > L:
+        pos = jnp.concatenate(
+            [pos, jnp.full((s + 1 - L,), big, dtype=jnp.int32)]
+        )
+    in_range = pos < L
+    safe = jnp.minimum(pos, L - 1)
+
+    excl = jnp.cumsum(cs) - cs  # exclusive count prefix per position
     total = excl[-1] + cs[-1]
-
-    # Run-start exclusive prefixes: E[j] for run j, default 'total' so that
-    # counts of absent runs are 0 and the last run is closed correctly.
-    idx_e = jnp.where(is_new & (seg <= s + 1), seg - 1, s + 1)
-    E = jnp.full((s + 2,), total, dtype=jnp.int64).at[idx_e].set(excl)
-    C = E[1 : s + 1] - E[0:s]
-
-    idx_h = jnp.where(is_new & (seg <= s), seg - 1, s)
-    H = jnp.full((s + 1,), EMPTY, dtype=jnp.uint64).at[idx_h].set(hs)
-    H = H[:s]
+    EX = jnp.where(in_range, excl[safe], total)
+    C = EX[1:] - EX[:-1]  # counts of runs 0..s-1
+    H = jnp.where(in_range[:s], hs[safe[:s]], EMPTY)
     H = jnp.where(C > 0, H, EMPTY)
     C = jnp.maximum(C, 0)
     return H, C

@@ -1,0 +1,194 @@
+"""Mesh-sharded implementations of the three core workloads.
+
+Communication design (ICI-friendly, all static-shape):
+
+- **Sketching** (data parallel over chunks): every device hashes and
+  bottom-s-reduces its shard of a ``[B, L]`` chunk batch locally (no
+  communication), then the s-sized per-device states are ``all_gather``'d
+  (tiny: s * 12 bytes each) and merged with the associative fold — the
+  MinHash analog of a gradient all-reduce.
+
+- **Pairwise distance** (model parallel over query rows): the sketch
+  matrix is replicated (or left sharded by rows); each device computes its
+  row block against all references with the searchsorted intersection
+  kernel; outputs stay row-sharded.
+
+- **Screen** (table parallel over DB hash ranges): the sorted DB hash
+  array and its count vector are contiguously range-sharded; streamed
+  chunks are replicated to all devices, each device counts hits only in
+  its own range (a hash falls in exactly one range, so per-ref tallies are
+  exact after a ``psum``/host gather).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from mash_tpu.ops import sketch_ops
+from mash_tpu.ops.kmers import hash_chunk
+
+AXIS = "shard"
+
+
+def default_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def make_sharded_sketch_fn(mesh: Mesh, params, s: int):
+    """Compile chunks[B, L] (sharded on B) -> replicated bottom-s state."""
+    from mash_tpu.ops.kmers import alphabet_bytes
+
+    alpha = alphabet_bytes(params.alphabet)
+
+    def per_device(chunks_local):
+        h, v = hash_chunk(
+            chunks_local,
+            alphabet=alpha,
+            k=params.kmer_size,
+            seed=params.seed,
+            use64=params.use64,
+            noncanonical=params.noncanonical,
+            preserve_case=params.preserve_case,
+        )
+        states = jax.vmap(
+            lambda hh, vv: sketch_ops.sketch_chunk(hh, vv, s=s)
+        )(h, v)
+        sh, sc = sketch_ops.tree_merge(states[0], states[1], s=s)
+        # gather the tiny per-device states and merge them everywhere
+        gh = jax.lax.all_gather(sh, AXIS)  # [n_dev, s]
+        gc = jax.lax.all_gather(sc, AXIS)
+        return sketch_ops.tree_merge(gh, gc, s=s)
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=P(AXIS, None),
+        out_specs=(P(), P()),
+    )
+    return jax.jit(fn)
+
+
+def sharded_sketch_chunks(mesh: Mesh, params, chunks, s: int):
+    """Sketch a [B, L] uint8 chunk batch across the mesh."""
+    fn = make_sharded_sketch_fn(mesh, params, s)
+    return fn(chunks)
+
+
+def make_sharded_pairwise_fn(mesh: Mesh, cap: int):
+    """Compile row-sharded all-pairs (common, denom) over the mesh."""
+    from mash_tpu.ops.distance import pairwise_common_denom
+
+    def per_device(qry_h, qry_n, ref_h, ref_n):
+        return pairwise_common_denom(
+            qry_h, qry_n, ref_h, ref_n, cap=cap
+        )
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(AXIS, None), P(AXIS), P(None, None), P(None)),
+        out_specs=(P(AXIS, None), P(AXIS, None)),
+    )
+    return jax.jit(fn)
+
+
+def sharded_pairwise(mesh: Mesh, qry_h, qry_n, ref_h, ref_n, cap: int):
+    """All-pairs (common, denom); query rows sharded, refs replicated.
+
+    Rows must be padded to a multiple of the mesh size (pad with empty
+    sketches: size 0).
+    """
+    fn = make_sharded_pairwise_fn(mesh, cap)
+    return fn(qry_h, qry_n, ref_h, ref_n)
+
+
+def make_sharded_screen_fn(mesh: Mesh, params, s: int):
+    """Compile (counts_sharded, state, chunk_replicated) -> updated.
+
+    ``db_hashes`` and ``counts`` are contiguously range-sharded on the
+    mesh; the chunk is replicated; each device searches only its range.
+    The bottom-s cardinality state is kept replicated via all_gather
+    merge.
+    """
+    from mash_tpu.ops.kmers import alphabet_bytes
+
+    alpha = alphabet_bytes(params.alphabet)
+
+    def per_device(db_local, counts_local, state_h, state_c, chunk):
+        h, v = hash_chunk(
+            chunk,
+            alphabet=alpha,
+            k=params.kmer_size,
+            seed=params.seed,
+            use64=params.use64,
+            noncanonical=params.noncanonical,
+            preserve_case=params.preserve_case,
+        )
+        Hn = db_local.shape[0]
+        idx = jnp.searchsorted(db_local, h)
+        at = jnp.minimum(idx, Hn - 1)
+        hit = v & (idx < Hn) & (db_local[at] == h)
+        counts_local = counts_local.at[jnp.where(hit, idx, Hn)].add(
+            1, mode="drop"
+        )
+        st = sketch_ops.sketch_chunk(h, v, s=s)
+        sh, sc = sketch_ops.merge_states(
+            (state_h, state_c), st, s=s
+        )
+        gh = jax.lax.all_gather(sh, AXIS)
+        gc = jax.lax.all_gather(sc, AXIS)
+        sh, sc = sketch_ops.tree_merge(gh, gc, s=s)
+        return counts_local, sh, sc
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        check_vma=False,
+        in_specs=(P(AXIS), P(AXIS), P(), P(), P()),
+        out_specs=(P(AXIS), P(), P()),
+    )
+    return jax.jit(fn)
+
+
+def sharded_screen_counts(
+    mesh: Mesh, params, db_hashes, chunks, s: int
+):
+    """Count DB-hash occurrences over streamed chunks on a mesh.
+
+    ``db_hashes`` must be sorted and padded (with 2^64-1) to a multiple of
+    the mesh size; per-range sentinel collisions are avoided because
+    padding never matches real hashes < 2^64-1 and the extra 'drop' slot
+    absorbs misses.  Returns (counts[H], state).
+    """
+    n_dev = mesh.devices.size
+    H = db_hashes.shape[0]
+    assert H % n_dev == 0
+    fn = make_sharded_screen_fn(mesh, params, s)
+    per = H // n_dev
+    state_h, state_c = sketch_ops.empty_state(s)
+    db = db_hashes.reshape(n_dev, per)
+    # one extra 'drop' slot per device range for non-hits
+    counts2 = jnp.zeros((n_dev, per + 1), dtype=jnp.int64)
+    for chunk in chunks:
+        counts2, state_h, state_c = fn(
+            db.reshape(-1),
+            counts2.reshape(-1),
+            state_h,
+            state_c,
+            chunk,
+        )
+        counts2 = counts2.reshape(n_dev, per + 1)
+    out = np.asarray(counts2)[:, :per].reshape(-1)
+    return out, (state_h, state_c)

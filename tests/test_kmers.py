@@ -6,8 +6,7 @@ import pytest
 
 from mash_tpu.core.params import default_nucleotide_params
 from mash_tpu.ops.kmers import (
-    alphabet_lut,
-    complement_lut,
+    alphabet_bytes,
     hash_chunk,
     hash_sequence_py,
 )
@@ -17,8 +16,7 @@ def _device_hashes(seq: bytes, params):
     arr = jnp.asarray(np.frombuffer(seq, dtype=np.uint8))
     h, v = hash_chunk(
         arr,
-        jnp.asarray(alphabet_lut(params.alphabet)),
-        jnp.asarray(complement_lut()),
+        alphabet=alphabet_bytes(params.alphabet),
         k=params.kmer_size,
         seed=params.seed,
         use64=params.use64,

@@ -152,10 +152,148 @@ class SketchEngine:
     def estimate_multiplicity(self, state) -> float:
         return sketch_ops.estimate_multiplicity(state)
 
+    # -- exact streaming mode --------------------------------------------
+
+    def _hash_fn(self, length: int):
+        """chunk[length] -> (hashes, valid), compiled per padded length."""
+        key = ("hash", length)
+        if key in self._folds:
+            return self._folds[key]
+        p = self.params
+
+        @jax.jit
+        def fn(chunk):
+            return hash_chunk(
+                chunk,
+                alphabet=self._alpha,
+                k=p.kmer_size,
+                seed=p.seed,
+                use64=p.use64,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+            )
+
+        self._folds[key] = fn
+        return fn
+
+    def hash_bytes(self, data: bytes):
+        """Hash one buffer on device; returns host numpy (hashes, valid)."""
+        bucket = self._bucket(len(data))
+        if len(data) < bucket:
+            data = data + b"\x00" * (bucket - len(data))
+        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+        if self.device is not None:
+            arr = jax.device_put(arr, self.device)
+        h, v = self._hash_fn(bucket)(arr)
+        return np.asarray(h), np.asarray(v)
+
 
 # ---------------------------------------------------------------------------
 # Record-level sketching with the reference's naming rules.
 # ---------------------------------------------------------------------------
+
+def sketch_records_exact(
+    engine: SketchEngine,
+    records,
+    file_name: str,
+    is_stdin: bool = False,
+):
+    """Exact-streaming variant of :func:`sketch_records_concat`.
+
+    Hashing runs on device (record-packed chunks, no overlap), but
+    bottom-s selection streams through the native ``ExactHeap`` in record
+    order, reproducing the reference heap's order-dependent semantics:
+    gated multiplicities, ``-m`` min-copy pending, ``-b`` Bloom
+    filtering, and per-record ``-c`` target-coverage early stop
+    (``Sketch.cpp:1256-1262``, ``MinHashHeap.cpp:68-146``).
+    """
+    from mash_tpu.native import ExactHeap
+
+    p = engine.params
+    k = p.kmer_size
+    heap = ExactHeap(
+        p.sketch_size,
+        p.min_cov if p.reads else 1,
+        p.memory_bound,
+        p.use64,
+    )
+    count = 0
+    total_len = 0
+    name = "" if is_stdin else file_name
+    comment = ""
+    skipped = False
+    stop = False
+
+    buf = bytearray()
+    bounds = []  # (window_start, window_count) per record in buf
+
+    def flush():
+        nonlocal stop, count
+        if not buf:
+            return
+        h, v = engine.hash_bytes(bytes(buf))
+        for start, nwin in bounds:
+            if stop:
+                break
+            count += 1
+            hh = h[start : start + nwin]
+            vv = v[start : start + nwin]
+            heap.insert(hh[vv])
+            if (
+                p.reads
+                and p.target_cov > 0
+                and heap.multiplicity() >= p.target_cov
+            ):
+                stop = True
+        buf.clear()
+        bounds.clear()
+
+    for rec in records:
+        if len(rec.seq) < k:
+            skipped = True
+            continue
+        if count == 0 and not bounds:
+            if is_stdin:
+                name = rec.name
+                comment = rec.comment or ""
+            else:
+                comment = rec.name + " " + (rec.comment or "")
+        if not p.reads:
+            total_len += len(rec.seq)
+        if buf and len(buf) + len(rec.seq) + 1 > engine.chunk_len:
+            flush()
+            if stop:
+                break
+        if buf:
+            buf.append(0)
+        start = len(buf)
+        buf += rec.seq
+        bounds.append((start, len(rec.seq) - k + 1))
+    if not stop:
+        flush()
+
+    if p.reads:
+        if p.genome_size != 0:
+            total_len = p.genome_size
+        else:
+            total_len = int(heap.set_size())
+
+    if count > 1:
+        comment = "[%d seqs] %s [...]" % (count, comment)
+
+    hashes, counts = heap.extract()
+    from mash_tpu.core.sketch import SketchRef
+
+    ref = SketchRef(
+        name=name,
+        comment=comment,
+        length=total_len,
+        hashes=hashes,
+        counts=counts,
+        counts_sorted=True,
+    )
+    return ref, heap, count, skipped
+
 
 def sketch_records_concat(
     engine: SketchEngine,

@@ -12,7 +12,11 @@ from __future__ import annotations
 import sys
 from typing import List, Optional
 
-from mash_tpu.core.engine import SketchEngine, sketch_records_concat
+from mash_tpu.core.engine import (
+    SketchEngine,
+    sketch_records_concat,
+    sketch_records_exact,
+)
 from mash_tpu.core.params import SketchParams
 from mash_tpu.core.sketch import (
     SketchRef,
@@ -55,6 +59,30 @@ def adopt_params_from_msh(params: SketchParams, path: str) -> int:
     params.seed = other.seed
     params.set_alphabet(other.alphabet_string())
     return n
+
+
+def needs_exact_streaming(params: SketchParams) -> bool:
+    """Whether sketching must use the exact stream-order path.
+
+    The batch bottom-s fold produces identical hash SETS for the default
+    settings, but ``-m``/``-b``/``-c`` gating and stored multiplicities
+    (``-M``) depend on stream order (``MinHashHeap.cpp:68-146``), so those
+    modes run the device-hash + native-heap hybrid.
+    """
+    return (
+        params.reads
+        and (
+            params.min_cov > 1
+            or params.memory_bound > 0
+            or params.target_cov > 0
+        )
+    ) or params.counts
+
+
+def _sketch_concat(engine, records, file_name, is_stdin):
+    if needs_exact_streaming(engine.params):
+        return sketch_records_exact(engine, records, file_name, is_stdin)
+    return sketch_records_concat(engine, records, file_name, is_stdin)
 
 
 def init_from_files(
@@ -101,7 +129,7 @@ def init_from_files(
                     err.write("Sketching %s...\n" % path)
             if params.concatenated:
                 records = read_fastx(path)
-                ref, _state, count, skipped = sketch_records_concat(
+                ref, _state, count, skipped = _sketch_concat(
                     engine, records, path, is_stdin=(path == "-")
                 )
                 if ref.length == 0:
@@ -122,19 +150,43 @@ def init_from_files(
                 # individual mode: one sketch per record
                 # (``sketchFileBySequence`` + ``sketchSequence``)
                 any_record = False
+                exact = needs_exact_streaming(params)
                 for rec in read_fastx(path):
                     if len(rec.seq) < params.kmer_size:
                         continue
                     any_record = True
-                    state = engine.sketch_seqs([rec.seq])
-                    sketch_set.add(
-                        engine.state_to_ref(
-                            state,
-                            rec.name,
-                            rec.comment or "",
-                            len(rec.seq),
+                    if exact:
+                        from mash_tpu.native import ExactHeap
+
+                        h, v = engine.hash_bytes(rec.seq)
+                        heap = ExactHeap(
+                            params.sketch_size,
+                            params.min_cov if params.reads else 1,
+                            params.memory_bound,
+                            params.use64,
                         )
-                    )
+                        heap.insert(h[v])
+                        hh, cc = heap.extract()
+                        sketch_set.add(
+                            SketchRef(
+                                name=rec.name,
+                                comment=rec.comment or "",
+                                length=len(rec.seq),
+                                hashes=hh,
+                                counts=cc,
+                                counts_sorted=True,
+                            )
+                        )
+                    else:
+                        state = engine.sketch_seqs([rec.seq])
+                        sketch_set.add(
+                            engine.state_to_ref(
+                                state,
+                                rec.name,
+                                rec.comment or "",
+                                len(rec.seq),
+                            )
+                        )
                 if not any_record:
                     err.write("\nERROR: reading %s.\n" % path)
                     raise SystemExit(1)
@@ -152,7 +204,7 @@ def init_from_reads(
     sketch_set = SketchSet(params)
     records = read_fastx_multi(files, round_robin=True)
     first_name = files[0] if files and files[0] != "-" else ""
-    ref, state, count, skipped = sketch_records_concat(
+    ref, state, count, skipped = _sketch_concat(
         engine, records, first_name, is_stdin=(first_name == "")
     )
     if ref.length == 0:
@@ -167,14 +219,14 @@ def init_from_reads(
             )
         raise SystemExit(1)
     sketch_set.add(ref)
-    sys.stderr.write(
-        "Estimated genome size: %s\n"
-        % _cpp_sci(engine.estimate_set_size(state))
-    )
-    sys.stderr.write(
-        "Estimated coverage:    %s\n"
-        % _cpp_sci(engine.estimate_multiplicity(state))
-    )
+    if needs_exact_streaming(params):
+        set_size = state.set_size()
+        mult = state.multiplicity()
+    else:
+        set_size = engine.estimate_set_size(state)
+        mult = engine.estimate_multiplicity(state)
+    sys.stderr.write("Estimated genome size: %s\n" % _cpp_sci(set_size))
+    sys.stderr.write("Estimated coverage:    %s\n" % _cpp_sci(mult))
     if params.target_cov > 0:
         sys.stderr.write("Reads used:            %d\n" % count)
     return sketch_set

@@ -1,0 +1,228 @@
+"""ctypes bindings for the native runtime (exact heap + FASTX parser).
+
+The shared library is built lazily from ``native/mash_native.cpp`` with
+g++ the first time it's needed and cached next to the package.  When no
+compiler is available, callers fall back to the pure-Python equivalents
+(``mash_tpu.native.pyheap``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+
+
+def _build_dir() -> str:
+    d = os.path.join(os.path.dirname(__file__), "_build")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        src = os.path.join(_repo_root(), "native", "mash_native.cpp")
+        if not os.path.exists(src):
+            # installed layout: source shipped inside the package
+            src = os.path.join(os.path.dirname(__file__), "mash_native.cpp")
+        if not os.path.exists(src):
+            return None
+        so = os.path.join(_build_dir(), "libmash_native.so")
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(
+            src
+        ):
+            try:
+                subprocess.run(
+                    [
+                        "g++",
+                        "-O3",
+                        "-std=c++17",
+                        "-shared",
+                        "-fPIC",
+                        "-o",
+                        so,
+                        src,
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            except (OSError, subprocess.CalledProcessError) as e:
+                sys.stderr.write(
+                    "WARNING: could not build native library (%s); using "
+                    "Python fallbacks.\n" % e
+                )
+                return None
+        lib = ctypes.CDLL(so)
+        u64 = ctypes.c_uint64
+        i64 = ctypes.c_int64
+        u32 = ctypes.c_uint32
+        p = ctypes.c_void_p
+        lib.mash_heap_create.restype = p
+        lib.mash_heap_create.argtypes = [u64, u32, u64]
+        lib.mash_heap_destroy.argtypes = [p]
+        lib.mash_heap_insert.argtypes = [p, ctypes.c_void_p, i64]
+        lib.mash_heap_size.restype = i64
+        lib.mash_heap_size.argtypes = [p]
+        lib.mash_heap_top.restype = u64
+        lib.mash_heap_top.argtypes = [p]
+        lib.mash_heap_full.restype = ctypes.c_int
+        lib.mash_heap_full.argtypes = [p]
+        lib.mash_heap_multiplicity.restype = ctypes.c_double
+        lib.mash_heap_multiplicity.argtypes = [p]
+        lib.mash_heap_set_size.restype = ctypes.c_double
+        lib.mash_heap_set_size.argtypes = [p, ctypes.c_int]
+        lib.mash_heap_extract.restype = i64
+        lib.mash_heap_extract.argtypes = [
+            p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            i64,
+        ]
+        lib.mash_fastx_parse.restype = i64
+        lib.mash_fastx_parse.argtypes = [
+            ctypes.c_void_p,
+            i64,
+            ctypes.c_void_p,
+            i64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            i64,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+class ExactHeap:
+    """Streaming bottom-s selector with exact reference semantics.
+
+    Native-backed when possible; transparently falls back to the Python
+    implementation in :mod:`mash_tpu.native.pyheap`.
+    """
+
+    def __init__(self, cap: int, min_cov: int = 1, bloom_bytes: int = 0,
+                 use64: bool = True):
+        self.cap = cap
+        self.use64 = use64
+        lib = load_library()
+        if lib is not None:
+            self._lib = lib
+            self._h = lib.mash_heap_create(cap, min_cov, bloom_bytes)
+            self._py = None
+        else:
+            from mash_tpu.native.pyheap import PyExactHeap
+
+            self._lib = None
+            self._py = PyExactHeap(cap, min_cov, bloom_bytes)
+
+    def insert(self, hashes: np.ndarray) -> None:
+        """Insert hashes in stream order."""
+        arr = np.ascontiguousarray(hashes, dtype=np.uint64)
+        if self._lib is not None:
+            self._lib.mash_heap_insert(
+                self._h, arr.ctypes.data, len(arr)
+            )
+        else:
+            self._py.insert(arr)
+
+    @property
+    def size(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.mash_heap_size(self._h))
+        return self._py.size
+
+    @property
+    def full(self) -> bool:
+        if self._lib is not None:
+            return bool(self._lib.mash_heap_full(self._h))
+        return self._py.size >= self.cap
+
+    @property
+    def top(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.mash_heap_top(self._h))
+        return self._py.top
+
+    def multiplicity(self) -> float:
+        if self._lib is not None:
+            return float(self._lib.mash_heap_multiplicity(self._h))
+        return self._py.multiplicity()
+
+    def set_size(self) -> float:
+        if self._lib is not None:
+            return float(
+                self._lib.mash_heap_set_size(self._h, int(self.use64))
+            )
+        return self._py.set_size(self.use64)
+
+    def extract(self):
+        """Sorted (hashes, counts) arrays."""
+        if self._lib is not None:
+            out_h = np.empty(self.cap, dtype=np.uint64)
+            out_c = np.empty(self.cap, dtype=np.uint32)
+            n = self._lib.mash_heap_extract(
+                self._h, out_h.ctypes.data, out_c.ctypes.data, self.cap
+            )
+            return out_h[:n], out_c[:n]
+        return self._py.extract()
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and self._h:
+            self._lib.mash_heap_destroy(self._h)
+            self._h = None
+
+
+def parse_fastx_buffer(data: bytes):
+    """Parse a decompressed FASTA/FASTQ buffer with the native parser.
+
+    Returns (packed_seq_bytes, seq_lens, headers) or None if the native
+    library is unavailable.
+    """
+    lib = load_library()
+    if lib is None:
+        return None
+    n = len(data)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    seq_out = np.empty(n, dtype=np.uint8)
+    max_rec = n // 2 + 2
+    seq_len = np.empty(max_rec, dtype=np.int64)
+    hdr_off = np.empty(max_rec, dtype=np.int64)
+    hdr_len = np.empty(max_rec, dtype=np.int64)
+    nrec = lib.mash_fastx_parse(
+        buf.ctypes.data,
+        n,
+        seq_out.ctypes.data,
+        n,
+        seq_len.ctypes.data,
+        hdr_off.ctypes.data,
+        hdr_len.ctypes.data,
+        max_rec,
+    )
+    if nrec < 0:
+        return None
+    seq_len = seq_len[:nrec]
+    headers = [
+        data[hdr_off[i] : hdr_off[i] + hdr_len[i]].decode(
+            "utf-8", "replace"
+        )
+        for i in range(nrec)
+    ]
+    return seq_out[: int(seq_len.sum())].tobytes(), seq_len, headers

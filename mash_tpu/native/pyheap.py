@@ -1,0 +1,99 @@
+"""Pure-Python fallback for the exact streaming bottom-s selector.
+
+Same stream-order semantics as the native ``ExactHeap`` (and the
+reference's ``MinHashHeap::tryInsert``); used when no C++ toolchain is
+available and as an independent oracle in tests.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+
+class PyExactHeap:
+    def __init__(self, cap: int, min_cov: int = 1, bloom_bytes: int = 0):
+        self.cap = cap
+        self.min_cov = min_cov
+        self.counts = {}
+        self.heap = []  # max-heap via negation
+        self.pending = {}
+        self.pending_heap = []
+        self.multiplicity_sum = 0
+        self.bloom = set() if bloom_bytes else None
+        # the python fallback's "bloom" is an exact set: a strictly more
+        # accurate stand-in for an approximate filter
+
+    @property
+    def size(self) -> int:
+        return len(self.counts)
+
+    @property
+    def top(self) -> int:
+        if not self.heap:
+            return (1 << 64) - 1
+        return -self.heap[0]
+
+    def _try_insert(self, h: int) -> None:
+        if not (len(self.counts) < self.cap or h < -self.heap[0]):
+            return
+        if h not in self.counts:
+            if self.bloom is not None:
+                if h in self.bloom:
+                    self.counts[h] = 2
+                    heapq.heappush(self.heap, -h)
+                    self.multiplicity_sum += 2
+                else:
+                    self.bloom.add(h)
+                    return
+            elif self.min_cov == 1:
+                self.counts[h] = 1
+                heapq.heappush(self.heap, -h)
+                self.multiplicity_sum += 1
+            else:
+                seen = self.pending.get(h, 0)
+                if seen == self.min_cov - 1:
+                    self.counts[h] = self.min_cov
+                    heapq.heappush(self.heap, -h)
+                    self.multiplicity_sum += self.min_cov
+                    del self.pending[h]
+                else:
+                    if h not in self.pending:
+                        heapq.heappush(self.pending_heap, -h)
+                        self.pending[h] = 1
+                    else:
+                        self.pending[h] += 1
+                    return
+        else:
+            self.counts[h] += 1
+            self.multiplicity_sum += 1
+
+        if len(self.counts) > self.cap:
+            top = -self.heap[0]
+            self.multiplicity_sum -= self.counts.pop(top)
+            while self.pending_heap and top < -self.pending_heap[0]:
+                self.pending.pop(-self.pending_heap[0], None)
+                heapq.heappop(self.pending_heap)
+            heapq.heappop(self.heap)
+
+    def insert(self, hashes) -> None:
+        for h in np.asarray(hashes, dtype=np.uint64).tolist():
+            self._try_insert(h)
+
+    def multiplicity(self) -> float:
+        if not self.counts:
+            return 0.0
+        return self.multiplicity_sum / len(self.counts)
+
+    def set_size(self, use64: bool = True) -> float:
+        if not self.counts:
+            return 0.0
+        space = 2.0 ** (64 if use64 else 32)
+        return space * len(self.counts) / float(self.top)
+
+    def extract(self):
+        items = sorted(self.counts.items())
+        h = np.array([k for k, _ in items], dtype=np.uint64)
+        c = np.array([v for _, v in items], dtype=np.uint32)
+        return h, c

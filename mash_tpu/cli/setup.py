@@ -43,7 +43,11 @@ def sketch_parameter_setup(command) -> SketchParams | None:
         p.window_size = int(
             command.get_option("window").get_argument_as_number()
         )
-        p.concatenated = False
+        if p.windowed:
+            # windowed sketches are per-sequence (the reference forces
+            # this whenever COMMAND_FIND is compiled in; here only when
+            # -W is actually requested, preserving released defaults)
+            p.concatenated = False
     p.parallelism = int(
         command.get_option("threads").get_argument_as_number()
     )

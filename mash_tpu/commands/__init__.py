@@ -13,6 +13,7 @@ def command_registry() -> Dict[str, Callable]:
     from mash_tpu.commands.taxscreen import CommandTaxScreen
     from mash_tpu.commands.triangle import CommandTriangle
     from mash_tpu.commands.contain import CommandContain
+    from mash_tpu.commands.find import CommandFind
     from mash_tpu.commands.info import CommandInfo
     from mash_tpu.commands.paste import CommandPaste
     from mash_tpu.commands.bounds import CommandBounds
@@ -24,6 +25,7 @@ def command_registry() -> Dict[str, Callable]:
         CommandTaxScreen,
         CommandTriangle,
         CommandContain,
+        CommandFind,
         CommandInfo,
         CommandPaste,
         CommandBounds,

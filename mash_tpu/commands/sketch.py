@@ -91,6 +91,8 @@ class CommandSketch(Command):
             ),
         )
         self.use_sketch_options()
+        self.use_option("windowed")
+        self.use_option("window")
 
     def run(self) -> int:
         if not self.arguments or self.get_option("help").active:
@@ -158,7 +160,10 @@ class CommandSketch(Command):
 
         sys.stderr.write("Writing to %s...\n" % prefix)
         capnp_msh.write_msh(
-            prefix, sketch_set.params, sketch_set.references
+            prefix,
+            sketch_set.params,
+            sketch_set.references,
+            sketch_set.position_hashes,
         )
 
         if warning_count > 0 and not params.reads:

@@ -187,6 +187,54 @@ class SketchEngine:
         h, v = self._hash_fn(bucket)(arr)
         return np.asarray(h), np.asarray(v)
 
+    # -- windowed (minmer) mode --------------------------------------------
+
+    def _windowed_hash_fn(self, length: int):
+        """Forward-strand raw-byte hashing for windowed mode.
+
+        ``getMinHashPositions`` (``Sketch.cpp:585-895``) hashes every
+        forward k-mer of the raw sequence — no uppercase pass, no
+        canonicalization, no invalid-k-mer skip (disabled in the
+        reference), and always the 64-bit hash (``find`` hardcodes
+        ``use64``, ``CommandFind.cpp:286``).
+        """
+        key = ("whash", length)
+        if key in self._folds:
+            return self._folds[key]
+        p = self.params
+
+        @jax.jit
+        def fn(chunk):
+            h, _ = hash_chunk(
+                chunk,
+                alphabet=(),
+                k=p.kmer_size,
+                seed=p.seed,
+                use64=True,
+                noncanonical=True,
+                preserve_case=True,
+            )
+            return h
+
+        self._folds[key] = fn
+        return fn
+
+    def windowed_positions(self, seq: bytes):
+        """Minmer (positions, hashes) of one sequence (device + native)."""
+        from mash_tpu.native import minmer_positions
+
+        p = self.params
+        n = len(seq) - p.kmer_size + 1
+        assert n >= 1
+        bucket = self._bucket(len(seq))
+        data = seq + b"\x00" * (bucket - len(seq))
+        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+        if self.device is not None:
+            arr = jax.device_put(arr, self.device)
+        h = np.asarray(self._windowed_hash_fn(bucket)(arr))[:n]
+        pos, hh = minmer_positions(h, p.window_size, p.sketch_size)
+        return pos, hh
+
 
 # ---------------------------------------------------------------------------
 # Record-level sketching with the reference's naming rules.

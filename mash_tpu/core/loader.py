@@ -12,6 +12,8 @@ from __future__ import annotations
 import sys
 from typing import List, Optional
 
+import numpy as np
+
 from mash_tpu.core.engine import (
     SketchEngine,
     sketch_records_concat,
@@ -117,8 +119,11 @@ def init_from_files(
             msh = capnp_msh.read_msh(
                 path, max_hashes=params.min_hashes_per_window
             )
-            for ref in msh.references:
-                sketch_set.add(ref)
+            for j, ref in enumerate(msh.references):
+                positions = None
+                if j < len(msh.position_hashes):
+                    positions = msh.position_hashes[j]
+                sketch_set.add(ref, positions)
         else:
             if engine is None:
                 engine = SketchEngine(params)
@@ -155,7 +160,25 @@ def init_from_files(
                     if len(rec.seq) < params.kmer_size:
                         continue
                     any_record = True
-                    if exact:
+                    if params.windowed:
+                        pos, hh = engine.windowed_positions(rec.seq)
+                        sketch_set.add(
+                            SketchRef(
+                                name=rec.name,
+                                comment=rec.comment or "",
+                                length=len(rec.seq),
+                            ),
+                            np.stack(
+                                [
+                                    pos.astype(np.uint64),
+                                    hh,
+                                ],
+                                axis=1,
+                            )
+                            if len(pos)
+                            else None,
+                        )
+                    elif exact:
                         from mash_tpu.native import ExactHeap
 
                         h, v = engine.hash_bytes(rec.seq)

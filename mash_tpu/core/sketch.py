@@ -49,12 +49,28 @@ class SketchSet:
     def __init__(self, params: SketchParams):
         self.params = params
         self.references: List[SketchRef] = []
+        # windowed mode (.msw): per-reference [n, 2] arrays of
+        # (position, hash) minmers, aligned with ``references``
+        self.position_hashes: List[np.ndarray] = []
 
     def __len__(self) -> int:
         return len(self.references)
 
-    def add(self, ref: SketchRef) -> None:
+    def add(self, ref: SketchRef, positions: Optional[np.ndarray] = None) -> None:
         self.references.append(ref)
+        self.position_hashes.append(
+            positions
+            if positions is not None
+            else np.empty((0, 2), dtype=np.uint64)
+        )
+
+    def loci_by_hash(self):
+        """hash -> [(ref_index, position)] index (``Sketch::createIndex``)."""
+        out = {}
+        for i, arr in enumerate(self.position_hashes):
+            for pos, h in np.asarray(arr, dtype=np.uint64).reshape(-1, 2):
+                out.setdefault(int(h), []).append((i, int(pos)))
+        return out
 
     @property
     def kmer_space(self) -> float:

@@ -107,6 +107,16 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             i64,
         ]
+        lib.mash_minmers.restype = i64
+        lib.mash_minmers.argtypes = [
+            ctypes.c_void_p,
+            i64,
+            i64,
+            i64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            i64,
+        ]
         _LIB = lib
         return _LIB
 
@@ -188,6 +198,38 @@ class ExactHeap:
         if getattr(self, "_lib", None) is not None and self._h:
             self._lib.mash_heap_destroy(self._h)
             self._h = None
+
+
+def minmer_positions(hashes: np.ndarray, window: int, mins: int):
+    """Windowed minmer (position, hash) pairs, in position order.
+
+    Positions whose hash is among the bottom-``mins`` distinct hashes of
+    some length-``window`` window (leftmost occurrence per repeated hash),
+    replicating ``getMinHashPositions`` (``src/mash/Sketch.cpp:585-895``).
+    Falls back to the pure-Python sweep when the native library is
+    unavailable.
+    """
+    arr = np.ascontiguousarray(hashes, dtype=np.uint64)
+    n = len(arr)
+    lib = load_library()
+    if lib is None:
+        from mash_tpu.native.pyheap import py_minmers
+
+        return py_minmers(arr, window, mins)
+    cap = n + 1
+    out_pos = np.empty(cap, dtype=np.uint32)
+    out_hash = np.empty(cap, dtype=np.uint64)
+    cnt = lib.mash_minmers(
+        arr.ctypes.data,
+        n,
+        window,
+        mins,
+        out_pos.ctypes.data,
+        out_hash.ctypes.data,
+        cap,
+    )
+    assert cnt >= 0
+    return out_pos[:cnt].copy(), out_hash[:cnt].copy()
 
 
 def parse_fastx_buffer(data: bytes):

@@ -97,3 +97,36 @@ class PyExactHeap:
         h = np.array([k for k, _ in items], dtype=np.uint64)
         c = np.array([v for _, v in items], dtype=np.uint32)
         return h, c
+
+
+def py_minmers(hashes: np.ndarray, window: int, mins: int):
+    """Windowed minmer oracle: brute-force per-window bottom-h marking.
+
+    A position p (hash v) is a minmer iff some full window W contains p,
+    p is the leftmost occurrence of v in W, and v's rank among W's
+    distinct hashes is <= mins.  O(n * window); used as the independent
+    test oracle for the native sweep and as a fallback.
+    """
+    hs = hashes.tolist()
+    n = len(hs)
+    if n == 0:
+        return (
+            np.empty(0, dtype=np.uint32),
+            np.empty(0, dtype=np.uint64),
+        )
+    window = min(window, n)
+    marked = set()
+    for w in range(0, n - window + 1):
+        vals = hs[w : w + window]
+        distinct = sorted(set(vals))
+        thr = distinct[min(mins, len(distinct)) - 1]
+        first = {}
+        for off, v in enumerate(vals):
+            if v <= thr and v not in first:
+                first[v] = w + off
+        marked.update(first.values())
+    pos = sorted(marked)
+    return (
+        np.array(pos, dtype=np.uint32),
+        np.array([hs[p] for p in pos], dtype=np.uint64),
+    )

@@ -23,6 +23,8 @@
 #include <unordered_map>
 #include <vector>
 #include <algorithm>
+#include <map>
+#include <deque>
 
 extern "C" {
 
@@ -292,6 +294,115 @@ int64_t mash_fastx_parse(const uint8_t* data, int64_t n,
         nrec++;
     }
     return nrec;
+}
+
+// ---------------------------------------------------------------------------
+// Windowed minmer sweep.
+//
+// Finds positions whose hash is a bottom-h *distinct* min-hash of some
+// length-W window of the hash sequence, with repeat handling: only the
+// left-most in-window occurrence of a repeated hash is a candidate at any
+// time.  Stream-order semantics follow the reference's rolling-window
+// algorithm (src/mash/Sketch.cpp:585-895); implementation is original.
+// Hashes are precomputed (on device) by the caller; every position
+// participates (the reference's invalid-k-mer skip is disabled there too).
+// ---------------------------------------------------------------------------
+
+int64_t mash_minmers(const uint64_t* hashes, int64_t n, int64_t window,
+                     int64_t mins, uint32_t* out_pos, uint64_t* out_hash,
+                     int64_t out_cap) {
+    if (n <= 0) return 0;
+    if (window > n) window = n;
+
+    struct Cand {
+        uint32_t pos;
+        bool minmer;
+    };
+    typedef std::map<uint64_t, std::deque<Cand>> CMap;
+    CMap cands;
+    std::deque<CMap::iterator> window_q;
+    CMap::iterator boundary = cands.end();  // h-th smallest key, or end()
+    int64_t out_n = 0;
+
+    auto emit = [&](uint32_t pos, uint64_t h) -> bool {
+        if (out_n >= out_cap) return false;
+        out_pos[out_n] = pos;
+        out_hash[out_n] = h;
+        out_n++;
+        return true;
+    };
+
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t h = hashes[i];
+        auto ins = cands.emplace(h, std::deque<Cand>());
+        CMap::iterator cur = ins.first;
+        cur->second.push_back(Cand{(uint32_t)i, false});
+        if (ins.second &&
+            ((boundary == cands.end() && (int64_t)cands.size() == mins) ||
+             (boundary != cands.end() && h < boundary->first))) {
+            --boundary;
+        }
+
+        window_q.push_back(cur);
+        CMap::iterator front = cands.end();
+        if ((int64_t)window_q.size() > window) {
+            front = window_q.front();
+            window_q.pop_front();
+        }
+
+        bool cur_erased = false;
+        if (front != cands.end()) {
+            std::deque<Cand>& fc = front->second;
+            if (fc.front().minmer) {
+                if (!emit(fc.front().pos, front->first)) return -1;
+            }
+            if (fc.size() > 1) {
+                fc.pop_front();
+                if (boundary == cands.end() ||
+                    (i >= window && front->first <= boundary->first)) {
+                    fc.front().minmer = true;
+                }
+            } else {
+                if (boundary != cands.end() &&
+                    front->first <= boundary->first) {
+                    ++boundary;
+                    if (boundary != cands.end()) {
+                        boundary->second.front().minmer = true;
+                    }
+                }
+                if (front == cur) cur_erased = true;  // window == 1 edge
+                cands.erase(front);
+            }
+        }
+
+        if (i == window - 1) {
+            for (CMap::iterator j = cands.begin(); j != boundary; ++j) {
+                j->second.front().minmer = true;
+            }
+            if (boundary != cands.end()) {
+                boundary->second.front().minmer = true;
+            }
+        }
+
+        if (!cur_erased && i >= window &&
+            (boundary == cands.end() || cur->first <= boundary->first)) {
+            cur->second.front().minmer = true;
+        }
+    }
+
+    // drain the final window
+    while (!window_q.empty()) {
+        CMap::iterator front = window_q.front();
+        window_q.pop_front();
+        std::deque<Cand>& fc = front->second;
+        if (!fc.empty()) {
+            if (fc.front().minmer) {
+                if (!emit(fc.front().pos, front->first)) return -1;
+            }
+            fc.pop_front();
+        }
+    }
+    return out_n;
 }
 
 }  // extern "C"

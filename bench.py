@@ -69,10 +69,10 @@ def bench_sketch(batch=8, chunk_len=1 << 20, iters=5):
     return total_bases / dt
 
 
-def bench_pairwise(n=256, s=1000, iters=3):
+def bench_pairwise(n=512, s=1000, iters=5):
     import jax
     import jax.numpy as jnp
-    from mash_tpu.ops.distance import pairwise_common_denom
+    from mash_tpu.ops.distance import pairwise_common_denom_auto
 
     rng = np.random.default_rng(1)
     h = np.sort(
@@ -85,11 +85,11 @@ def bench_pairwise(n=256, s=1000, iters=3):
     hd = jnp.asarray(h)
     nd = jnp.asarray(sizes)
 
-    out = pairwise_common_denom(hd, nd, hd, nd, cap=s)
+    out = pairwise_common_denom_auto(hd, nd, hd, nd, cap=s)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = pairwise_common_denom(hd, nd, hd, nd, cap=s)
+        out = pairwise_common_denom_auto(hd, nd, hd, nd, cap=s)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     return n * n * iters / dt

@@ -172,20 +172,46 @@ def pairwise_containment(ref, nref, qry, nqry):
     return f(qry, nqry, ref, nref)
 
 
+def pairwise_common_denom_auto(qry, nqry, ref, nref, *, cap: int):
+    """Backend-dispatched all-pairs kernel.
+
+    On TPU uses the Pallas VMEM-tiled merge kernel
+    (``mash_tpu.ops.pallas_pairwise``, ~10x the XLA formulation); on CPU
+    and other backends uses the XLA batched-sort formulation (interpret
+    mode would be orders of magnitude slower than XLA there).
+    """
+    if jax.default_backend() == "tpu":
+        from mash_tpu.ops.pallas_pairwise import pairwise_common_denom_pallas
+
+        return pairwise_common_denom_pallas(qry, nqry, ref, nref, cap=cap)
+    return pairwise_common_denom(qry, nqry, ref, nref, cap=cap)
+
+
 def common_denom_tiled(
     qry_h,
     qry_n,
     ref_h,
     ref_n,
     cap: int,
-    tile_q: int = 128,
-    tile_r: int = 128,
+    tile_q: int | None = None,
+    tile_r: int | None = None,
 ):
     """Host-tiled wrapper bounding device memory for big pair matrices.
 
     Pads both sketch sets to tile multiples and loops tiles on host; each
-    tile is one compiled program.  Returns numpy int32 [NQ, NR] arrays.
+    tile is one compiled program.  Tile sizes default per backend: the
+    Pallas TPU kernel grids internally over VMEM blocks so large tiles
+    (4096) amortize dispatch, while the XLA fallback materializes
+    ``[tile_q*tile_r, 2s]`` in HBM and needs small tiles (128).
+    Returns numpy int32 [NQ, NR] arrays.
     """
+    if tile_q is None or tile_r is None:
+        big = jax.default_backend() == "tpu"
+        tile_q = tile_q or (4096 if big else 128)
+        tile_r = tile_r or (4096 if big else 128)
+    # never pad a small input all the way up to a huge tile
+    tile_q = min(tile_q, 8 * ((qry_h.shape[0] + 7) // 8))
+    tile_r = min(tile_r, 8 * ((ref_h.shape[0] + 7) // 8))
     nq, s = qry_h.shape
     nr = ref_h.shape[0]
     common = np.zeros((nq, nr), dtype=np.int32)
@@ -205,7 +231,7 @@ def common_denom_tiled(
 
     for qi in range(0, qh.shape[0], tile_q):
         for ri in range(0, rh.shape[0], tile_r):
-            c, d = pairwise_common_denom(
+            c, d = pairwise_common_denom_auto(
                 jnp.asarray(qh[qi : qi + tile_q]),
                 jnp.asarray(qn[qi : qi + tile_q]),
                 jnp.asarray(rh[ri : ri + tile_r]),

@@ -22,7 +22,7 @@ BASELINE_SKETCH_BASES_PER_SEC = 5e6  # mash 2.3, one modern CPU core (est.)
 BASELINE_PAIRS_PER_SEC = 6e5        # mash dist pair rate per core (est.)
 
 
-def bench_sketch(batch=8, chunk_len=1 << 20, iters=5):
+def bench_sketch(batch=32, chunk_len=1 << 20, iters=5):
     import jax
     import jax.numpy as jnp
     from mash_tpu.core.params import default_nucleotide_params
@@ -44,9 +44,9 @@ def bench_sketch(batch=8, chunk_len=1 << 20, iters=5):
             noncanonical=params.noncanonical,
             preserve_case=params.preserve_case,
         )
-        states = jax.vmap(
-            lambda hh, vv: sketch_ops.sketch_chunk(hh, vv, s=s)
-        )(h, v)
+        states = sketch_ops.sketch_chunk_batch(
+            h, v, s=s, use64=params.use64
+        )
         ch = jnp.concatenate([state[0][None], states[0]])
         cc = jnp.concatenate([state[1][None], states[1]])
         return sketch_ops.tree_merge(ch, cc, s=s)

@@ -90,8 +90,12 @@ class SketchEngine:
                 noncanonical=p.noncanonical,
                 preserve_case=p.preserve_case,
             )
-            st = sketch_ops.sketch_chunk(h, v, s=s)
-            return sketch_ops.merge_states(state, st, s=s)
+            sh, sc = sketch_ops.sketch_chunk_batch(
+                h[None], v[None], s=s, use64=p.use64
+            )
+            return sketch_ops.merge_states(
+                state, (sh[0], sc[0]), s=s
+            )
 
         self._folds[length] = fold
         return fold

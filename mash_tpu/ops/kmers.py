@@ -159,29 +159,62 @@ def hash_chunk(
         return seq[..., j : j + n]
 
     if noncanonical:
-        choose_fwd = None
-        comp = None
+        window_bytes_rev = None
     else:
-        # complement via select chain over alphabet characters only;
-        # non-alphabet bytes map to 0 (their windows are masked anyway)
-        comp = jnp.zeros_like(seq)
-        for c in alphabet:
-            comp = jnp.where(
-                seq == jnp.uint8(c),
-                jnp.uint8(complement_byte(c)),
-                comp,
-            )
+        comp = complement_seq(seq, alphabet)
 
         def window_bytes_rev(j):
             # rc k-mer byte j = complement(seq[i + k-1-j])
             return comp[..., k - 1 - j : k - 1 - j + n]
 
+    h1 = hash_from_byte_fns(
+        window_bytes_fwd,
+        window_bytes_rev,
+        k=k,
+        seed=seed,
+        use64=use64,
+        noncanonical=noncanonical,
+    )
+    return h1, valid
+
+
+def complement_seq(seq, alphabet: tuple):
+    """Per-byte complement via a select chain over the alphabet.
+
+    Non-alphabet bytes map to 0 (their windows are masked anyway),
+    replicating the uppercase-then-complement order of
+    ``src/mash/Sketch.cpp:524-537, 1100-1106``.
+    """
+    comp = jnp.zeros_like(seq)
+    for c in alphabet:
+        comp = jnp.where(
+            seq == jnp.uint8(c),
+            jnp.uint8(complement_byte(c)),
+            comp,
+        )
+    return comp
+
+
+def hash_from_byte_fns(
+    fwd, rev, *, k: int, seed: int, use64: bool, noncanonical: bool
+):
+    """Canonicalize + MurmurHash3 given per-position byte accessors.
+
+    ``fwd(j)`` / ``rev(j)`` return the j-th byte of every window's
+    forward / reverse-complement k-mer (arrays of one common shape), so
+    the canonicalize+hash core is reusable with either sliced or
+    gathered byte access.
+    """
+    if noncanonical:
+        choose_fwd = None
+    else:
         # memcmp(fwd, rev) <= 0 ranking, folded last byte first
         # (``Sketch.cpp:569-571``).
-        cmp = jnp.zeros(seq.shape[:-1] + (n,), dtype=jnp.int8)
+        f0 = fwd(0)
+        cmp = jnp.zeros(f0.shape, dtype=jnp.int8)
         for j in reversed(range(k)):
-            f = window_bytes_fwd(j)
-            r = window_bytes_rev(j)
+            f = fwd(j) if j else f0
+            r = rev(j)
             cmp = jnp.where(
                 f < r, jnp.int8(-1), jnp.where(f > r, jnp.int8(1), cmp)
             )
@@ -190,15 +223,15 @@ def hash_chunk(
     nwords = (k + 7) // 8
     words = []
     for m in range(nwords):
-        wf = jnp.zeros(seq.shape[:-1] + (n,), dtype=jnp.uint64)
-        wr = None if noncanonical else jnp.zeros_like(wf)
+        wf = None
+        wr = None
         for j in range(8 * m, min(8 * m + 8, k)):
             shift = jnp.uint64(8 * (j - 8 * m))
-            wf = wf | (window_bytes_fwd(j).astype(jnp.uint64) << shift)
+            bf = fwd(j).astype(jnp.uint64) << shift
+            wf = bf if wf is None else (wf | bf)
             if not noncanonical:
-                wr = wr | (
-                    window_bytes_rev(j).astype(jnp.uint64) << shift
-                )
+                br = rev(j).astype(jnp.uint64) << shift
+                wr = br if wr is None else (wr | br)
         if noncanonical:
             words.append(wf)
         else:
@@ -207,7 +240,7 @@ def hash_chunk(
     h1, _ = mmh3_words_x64_128(words, k, jnp.uint64(seed), xp=jnp)
     if not use64:
         h1 = h1 & jnp.uint64(0xFFFFFFFF)
-    return h1, valid
+    return h1
 
 
 # ---------------------------------------------------------------------------

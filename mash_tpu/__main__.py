@@ -60,7 +60,10 @@ def main(argv=None) -> int:
 
     command = commands[argv[0]]()
     try:
-        return command.parse(argv[1:])
+        from mash_tpu.utils import maybe_trace, stage
+
+        with maybe_trace(), stage("command:%s" % argv[0]):
+            return command.parse(argv[1:])
     except BrokenPipeError:
         return 0
 

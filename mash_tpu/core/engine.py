@@ -22,6 +22,7 @@ from mash_tpu.core.params import SketchParams
 from mash_tpu.core.sketch import SketchRef
 from mash_tpu.ops import sketch_ops
 from mash_tpu.ops.kmers import alphabet_bytes, hash_chunk
+from mash_tpu.utils import stage
 
 DEFAULT_CHUNK = 1 << 20
 # Pad small inputs to one of these lengths to bound recompilation.
@@ -165,19 +166,21 @@ class SketchEngine:
                 chunk = chunk[:used] + b"\x00" * (self.chunk_len - used)
             rows.append(np.frombuffer(chunk, dtype=np.uint8))
             if len(rows) == batch_rows:
-                arr = jnp.asarray(np.stack(rows))
-                if self.device is not None:
-                    arr = jax.device_put(arr, self.device)
-                state = fold(state, arr)
+                with stage("engine:fold_batch"):
+                    arr = jnp.asarray(np.stack(rows))
+                    if self.device is not None:
+                        arr = jax.device_put(arr, self.device)
+                    state = fold(state, arr)
                 rows = []
         if rows:
             zero = np.zeros(self.chunk_len, dtype=np.uint8)
             while len(rows) < batch_rows:
                 rows.append(zero)
-            arr = jnp.asarray(np.stack(rows))
-            if self.device is not None:
-                arr = jax.device_put(arr, self.device)
-            state = fold(state, arr)
+            with stage("engine:fold_batch"):
+                arr = jnp.asarray(np.stack(rows))
+                if self.device is not None:
+                    arr = jax.device_put(arr, self.device)
+                state = fold(state, arr)
         return state
 
     def sketch_seqs(self, seqs: Iterable[bytes]):

@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mash_tpu.utils import stage
+
 from mash_tpu.ops.sketch_ops import EMPTY
 
 
@@ -231,13 +233,14 @@ def common_denom_tiled(
 
     for qi in range(0, qh.shape[0], tile_q):
         for ri in range(0, rh.shape[0], tile_r):
-            c, d = pairwise_common_denom_auto(
-                jnp.asarray(qh[qi : qi + tile_q]),
-                jnp.asarray(qn[qi : qi + tile_q]),
-                jnp.asarray(rh[ri : ri + tile_r]),
-                jnp.asarray(rn[ri : ri + tile_r]),
-                cap=cap,
-            )
+            with stage("distance:pair_tile"):
+                c, d = pairwise_common_denom_auto(
+                    jnp.asarray(qh[qi : qi + tile_q]),
+                    jnp.asarray(qn[qi : qi + tile_q]),
+                    jnp.asarray(rh[ri : ri + tile_r]),
+                    jnp.asarray(rn[ri : ri + tile_r]),
+                    cap=cap,
+                )
             cq = min(tile_q, nq - qi)
             cr = min(tile_r, nr - ri)
             if cq > 0 and cr > 0:

@@ -143,6 +143,14 @@ class SketchEngine:
 
     def fold_chunk(self, state, chunk: bytes):
         """Fold one raw chunk (any length >= k) into the sketch state."""
+        if len(chunk) > self.chunk_len:
+            # Keep compiled shapes bounded: rows beyond ~2M elements hit
+            # an XLA scoped-VMEM limit in the cumsum lowering, and huge
+            # one-off shapes each cost a fresh compile anyway.
+            return self.fold_stream(
+                state,
+                chunk_stream([chunk], self.params.kmer_size, self.chunk_len),
+            )
         bucket = self._bucket(len(chunk))
         if len(chunk) < bucket:
             chunk = chunk + b"\x00" * (bucket - len(chunk))

@@ -93,5 +93,32 @@ def test_large_db_sorted_counting():
     np.testing.assert_array_equal(got, want)
 
 
+def test_huge_db_merge_counting():
+    params = default_nucleotide_params()
+    chunks = _mk_inputs(2, n_chunks=1, clen=30000)
+    db = _db_from_stream(params, chunks, extra=300000, take=400)
+    assert len(db) > screen_ops_db_side_limit()
+    got = _run_fold(params, db, chunks)
+    want = _oracle_counts(params, db, chunks)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_huge_db_with_empty_sentinel_hash():
+    """A real DB hash equal to 2^64-1 must count only valid k-mers."""
+    params = default_nucleotide_params()
+    chunks = _mk_inputs(3, n_chunks=1, clen=30000)
+    db = _db_from_stream(params, chunks, extra=300000, take=100)
+    db = np.unique(
+        np.concatenate([db, [np.uint64(0xFFFFFFFFFFFFFFFF)]])
+    )
+    got = _run_fold(params, db, chunks)
+    want = _oracle_counts(params, db, chunks)
+    np.testing.assert_array_equal(got, want)
+
+
 def screen_ops_small_limit():
     return 1 << 15
+
+
+def screen_ops_db_side_limit():
+    return 1 << 18

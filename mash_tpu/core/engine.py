@@ -251,6 +251,10 @@ class SketchEngine:
 
     def hash_bytes(self, data: bytes):
         """Hash one buffer on device; returns host numpy (hashes, valid)."""
+        with stage("engine:hash_bytes"):
+            return self._hash_bytes(data)
+
+    def _hash_bytes(self, data: bytes):
         bucket = self._bucket(len(data))
         if len(data) < bucket:
             data = data + b"\x00" * (bucket - len(data))

@@ -18,7 +18,7 @@ full (an occurrence equal to the current heap maximum is not counted,
 ``MinHashHeap.cpp:68-74``), and its ``-m``/``-b`` noise-filter gating is
 stream-order dependent.  The sketch *hash set* itself is identical for the
 default ``min_cov == 1`` path.  An exact-streaming host fallback is provided
-in ``mash_tpu.core.exact_heap`` for byte-parity of ``-m``/``-b`` modes.
+in ``mash_tpu.native`` (ExactHeap) for byte-parity of ``-m``/``-b`` modes.
 
 State representation: ``(hashes[s] uint64 ascending, counts[s] int64)``,
 empty slots have ``counts == 0`` and hash ``EMPTY`` (2^64-1; real hashes
@@ -100,12 +100,8 @@ def sketch_chunk(hashes, valid, *, s: int):
     return _fold_sorted(h, c, s)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("s", "window", "use64")
-)
-def sketch_chunk_batch(
-    hashes, valid, *, s: int, window: int = 4096, use64: bool = True
-):
+@functools.partial(jax.jit, static_argnames=("s", "use64"))
+def sketch_chunk_batch(hashes, valid, *, s: int, use64: bool = True):
     """Exact bottom-s fold of ``[B, n]`` hashed chunks, top-k windowed.
 
     Semantically identical to ``vmap(sketch_chunk)`` but ~5x faster for
@@ -126,7 +122,6 @@ def sketch_chunk_batch(
       hashes: uint64 ``[B, n]``.
       valid: bool ``[B, n]``.
       s: static sketch size.
-      window: candidate window size K (>= 4*s recommended).
       use64: whether hashes use 64 bits (keys = high 32 bits) or fit in
         32 bits (keys = the hash itself), per ``src/mash/hash.cpp:21-35``.
 
@@ -139,8 +134,6 @@ def sketch_chunk_batch(
         return jax.vmap(
             lambda h, v: sketch_chunk(h, v, s=s)
         )(hashes, valid)
-    del window  # kept for API stability; subrow layout supersedes it
-
     # This function reads ``hashes`` three times (selection keys, window
     # gather, exactness count); without a barrier XLA re-fuses the whole
     # upstream hash pipeline into each consumer, tripling the dominant

@@ -102,12 +102,32 @@ class SketchEngine:
         return fold
 
     def _fold_batch_fn(self, rows: int):
-        """state, chunks[rows, chunk_len] -> state (one compiled shape)."""
+        """state, chunks[rows, chunk_len] -> state (one compiled shape).
+
+        With several devices available (and no explicit device pin) the
+        chunk rows are sharded over a 1-D mesh and per-device states are
+        all_gather-merged — the fold is associative, so this is exact.
+        """
         key = ("batch", rows)
         if key in self._folds:
             return self._folds[key]
         p = self.params
         s = p.sketch_size
+
+        n_dev = len(jax.devices())
+        if self.device is None and n_dev > 1 and rows % n_dev == 0:
+            from mash_tpu.parallel import mesh as pmesh
+
+            sharded = pmesh.make_sharded_sketch_fn(
+                pmesh.default_mesh(), p, s
+            )
+
+            def fold(state, chunks):
+                sh, sc = sharded(chunks)
+                return sketch_ops.merge_states(state, (sh, sc), s=s)
+
+            self._folds[key] = fold
+            return fold
 
         @jax.jit
         def fold(state, chunks):

@@ -214,6 +214,16 @@ def common_denom_tiled(
     # never pad a small input all the way up to a huge tile
     tile_q = min(tile_q, 8 * ((qry_h.shape[0] + 7) // 8))
     tile_r = min(tile_r, 8 * ((ref_h.shape[0] + 7) // 8))
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        # shard query rows over the device mesh within each tile
+        from mash_tpu.parallel import mesh as pmesh
+
+        tile_q = n_dev * ((tile_q + n_dev - 1) // n_dev)
+        fn = pmesh.cached_sharded_pairwise_fn(cap)
+    else:
+        fn = None
     nq, s = qry_h.shape
     nr = ref_h.shape[0]
     common = np.zeros((nq, nr), dtype=np.int32)
@@ -234,13 +244,16 @@ def common_denom_tiled(
     for qi in range(0, qh.shape[0], tile_q):
         for ri in range(0, rh.shape[0], tile_r):
             with stage("distance:pair_tile"):
-                c, d = pairwise_common_denom_auto(
+                args = (
                     jnp.asarray(qh[qi : qi + tile_q]),
                     jnp.asarray(qn[qi : qi + tile_q]),
                     jnp.asarray(rh[ri : ri + tile_r]),
                     jnp.asarray(rn[ri : ri + tile_r]),
-                    cap=cap,
                 )
+                if fn is not None:
+                    c, d = fn(*args)
+                else:
+                    c, d = pairwise_common_denom_auto(*args, cap=cap)
             cq = min(tile_q, nq - qi)
             cr = min(tile_r, nr - ri)
             if cq > 0 and cr > 0:

@@ -108,6 +108,12 @@ def make_sharded_pairwise_fn(mesh: Mesh, cap: int):
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=None)
+def cached_sharded_pairwise_fn(cap: int):
+    """Process-cached sharded pairwise fn over the default device mesh."""
+    return make_sharded_pairwise_fn(default_mesh(), cap)
+
+
 def sharded_pairwise(mesh: Mesh, qry_h, qry_n, ref_h, ref_n, cap: int):
     """All-pairs (common, denom); query rows sharded, refs replicated.
 

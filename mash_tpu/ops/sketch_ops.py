@@ -107,9 +107,9 @@ def sketch_chunk_batch(hashes, valid, *, s: int, use64: bool = True):
     Semantically identical to ``vmap(sketch_chunk)`` but ~5x faster for
     large chunks: instead of fully sorting every n-element row (the
     dominant cost of sketching), candidates are selected hierarchically —
-    each row is split into 4096-wide subrows and an exact ``lax.top_k``
+    each row is split into short subrows and an exact ``lax.top_k``
     takes the m smallest keys of each (tiny-k top_k over many short rows
-    is nearly free on TPU, unlike top_k(4096) over the full row) — then
+    is much cheaper on TPU than one top_k over the full row) — then
     only the gathered candidate window is sorted and folded.  A per-row
     exactness certificate is verified on the full 64-bit values (see
     inline comments); a row can only be inexact for pathologically
@@ -129,8 +129,8 @@ def sketch_chunk_batch(hashes, valid, *, s: int, use64: bool = True):
       ``(H [B, s], C [B, s])`` stacked states.
     """
     B, n = hashes.shape
-    C = 4096  # subrow width
-    if n <= 4 * C or s * 8 > n:
+    C = 2048  # subrow width: top_k cost scales with C, so keep it small
+    if n <= 16 * C or s * 8 > n:
         return jax.vmap(
             lambda h, v: sketch_chunk(h, v, s=s)
         )(hashes, valid)
@@ -144,11 +144,11 @@ def sketch_chunk_batch(hashes, valid, *, s: int, use64: bool = True):
     )(hashes, valid)
 
     # Per-subrow candidate budget m: with uniform hashes, a subrow holds
-    # Poisson(~1.2*s*C/n) of the globally relevant bottom hashes; 6
-    # lambdas of headroom makes an overflow (-> verified fallback)
-    # vanishingly rare while keeping top_k tiny.
+    # Poisson(~1.2*s*C/n) of the globally relevant bottom hashes; a floor
+    # of 16 plus 6 lambdas of headroom makes an overflow (-> verified
+    # fallback) vanishingly rare while keeping top_k tiny.
     lam = max(1.0, 1.2 * s * C / n)
-    m = 8
+    m = 16
     while m < 6 * lam and m < C:
         m *= 2
     R = (n + C - 1) // C

@@ -65,9 +65,11 @@ def bench_sketch(batch=32, chunk_len=1 << 20, iters=5):
     s = params.sketch_size
     alpha = alphabet_bytes(params.alphabet)
 
+    from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
+
     @jax.jit
     def step(state, chunks):
-        h, v = hash_chunk(
+        states = sketch_chunks_auto(
             chunks,
             alphabet=alpha,
             k=params.kmer_size,
@@ -75,9 +77,7 @@ def bench_sketch(batch=32, chunk_len=1 << 20, iters=5):
             use64=params.use64,
             noncanonical=params.noncanonical,
             preserve_case=params.preserve_case,
-        )
-        states = sketch_ops.sketch_chunk_batch(
-            h, v, s=s, use64=params.use64
+            s=s,
         )
         ch = jnp.concatenate([state[0][None], states[0]])
         cc = jnp.concatenate([state[1][None], states[1]])

@@ -80,19 +80,19 @@ class SketchEngine:
         p = self.params
         s = p.sketch_size
 
+        from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
+
         @jax.jit
         def fold(state, chunk):
-            h, v = hash_chunk(
-                chunk,
+            sh, sc = sketch_chunks_auto(
+                chunk[None],
                 alphabet=self._alpha,
                 k=p.kmer_size,
                 seed=p.seed,
                 use64=p.use64,
                 noncanonical=p.noncanonical,
                 preserve_case=p.preserve_case,
-            )
-            sh, sc = sketch_ops.sketch_chunk_batch(
-                h[None], v[None], s=s, use64=p.use64
+                s=s,
             )
             return sketch_ops.merge_states(
                 state, (sh[0], sc[0]), s=s
@@ -129,9 +129,11 @@ class SketchEngine:
             self._folds[key] = fold
             return fold
 
+        from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
+
         @jax.jit
         def fold(state, chunks):
-            h, v = hash_chunk(
+            sh, sc = sketch_chunks_auto(
                 chunks,
                 alphabet=self._alpha,
                 k=p.kmer_size,
@@ -139,9 +141,7 @@ class SketchEngine:
                 use64=p.use64,
                 noncanonical=p.noncanonical,
                 preserve_case=p.preserve_case,
-            )
-            sh, sc = sketch_ops.sketch_chunk_batch(
-                h, v, s=s, use64=p.use64
+                s=s,
             )
             ch = jnp.concatenate([state[0][None], sh])
             cc = jnp.concatenate([state[1][None], sc])

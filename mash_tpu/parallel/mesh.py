@@ -50,8 +50,10 @@ def make_sharded_sketch_fn(mesh: Mesh, params, s: int):
 
     alpha = alphabet_bytes(params.alphabet)
 
+    from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
+
     def per_device(chunks_local):
-        h, v = hash_chunk(
+        sh_all, sc_all = sketch_chunks_auto(
             chunks_local,
             alphabet=alpha,
             k=params.kmer_size,
@@ -59,9 +61,7 @@ def make_sharded_sketch_fn(mesh: Mesh, params, s: int):
             use64=params.use64,
             noncanonical=params.noncanonical,
             preserve_case=params.preserve_case,
-        )
-        sh_all, sc_all = sketch_ops.sketch_chunk_batch(
-            h, v, s=s, use64=params.use64
+            s=s,
         )
         sh, sc = sketch_ops.tree_merge(sh_all, sc_all, s=s)
         # gather the tiny per-device states and merge them everywhere

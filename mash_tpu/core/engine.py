@@ -80,11 +80,11 @@ class SketchEngine:
         p = self.params
         s = p.sketch_size
 
-        from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
+        batch_op = self._batch_op()
 
         @jax.jit
         def fold(state, chunk):
-            sh, sc = sketch_chunks_auto(
+            sh, sc = batch_op(
                 chunk[None],
                 alphabet=self._alpha,
                 k=p.kmer_size,
@@ -129,11 +129,11 @@ class SketchEngine:
             self._folds[key] = fold
             return fold
 
-        from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
+        batch_op = self._batch_op()
 
         @jax.jit
         def fold(state, chunks):
-            sh, sc = sketch_chunks_auto(
+            sh, sc = batch_op(
                 chunks,
                 alphabet=self._alpha,
                 k=p.kmer_size,
@@ -149,6 +149,35 @@ class SketchEngine:
 
         self._folds[key] = fold
         return fold
+
+    def _batch_op(self):
+        """chunks[B, L] -> states op, honoring an explicit device pin.
+
+        The fused Pallas kernel only runs on TPU; an engine pinned to a
+        non-TPU device (while the default backend is TPU) must take the
+        plain XLA path, which compiles anywhere.
+        """
+        from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
+
+        if self.device is not None and self.device.platform != "tpu":
+            p = self.params
+
+            def xla_op(chunks, **_kw):
+                h, v = hash_chunk(
+                    chunks,
+                    alphabet=self._alpha,
+                    k=p.kmer_size,
+                    seed=p.seed,
+                    use64=p.use64,
+                    noncanonical=p.noncanonical,
+                    preserve_case=p.preserve_case,
+                )
+                return sketch_ops.sketch_chunk_batch(
+                    h, v, s=p.sketch_size, use64=p.use64
+                )
+
+            return lambda chunks, **kw: xla_op(chunks)
+        return sketch_chunks_auto
 
     def _bucket(self, n: int) -> int:
         for b in _BUCKETS:

@@ -247,13 +247,9 @@ def _kernel(bytes_ref, out_ref, *, C, SR, k, seed, use64,
             )
 
     # window validity over lanes [0, C): log-doubling sliding AND
-    acc = ok
-    width = 1
-    while width < k:
-        step = min(width, k - width)
-        acc = acc[:, : acc.shape[1] - step] & acc[:, step:]
-        width += step
-    valid = acc[:, :C]
+    from mash_tpu.ops.kmers import window_valid
+
+    valid = window_valid(ok, k)[:, :C]
 
     def fwd(j):
         return b[:, j : j + C]
@@ -330,7 +326,7 @@ def _kernel(bytes_ref, out_ref, *, C, SR, k, seed, use64,
     BIG = np.int32(2**30)
     val_i = valid.astype(jnp.int32)
 
-    cols = []
+    vcount = jnp.sum(val_i, axis=1, dtype=jnp.int32)
     his = []
     los = []
     vals = []
@@ -346,8 +342,12 @@ def _kernel(bytes_ref, out_ref, *, C, SR, k, seed, use64,
         los.append(jnp.sum(jnp.where(sel, hl, _I0), axis=1, dtype=jnp.int32))
         vals.append(jnp.sum(jnp.where(sel, val_i, _I0), axis=1, dtype=jnp.int32))
         keyb = jnp.where(sel, MAXK, keyb)
+        # Clear validity too: a valid window whose key equals the MAXK
+        # sentinel (hash hi-32 == 0xFFFFFFFF) would otherwise be
+        # re-extracted as "valid" on leftover iterations, inflating
+        # sum(cand_v) and making the all-captured certificate unsound.
+        val_i = jnp.where(sel, _I0, val_i)
     boundary = jnp.min(keyb, axis=1)  # (m+1)-th smallest key (or MAX)
-    vcount = jnp.sum(val_i, axis=1, dtype=jnp.int32)
 
     out = jnp.stack(
         his
@@ -473,11 +473,8 @@ def sketch_chunks_pallas(
     if n <= 8 * C or s * 8 > n or k > _HALO + 1:
         return plain()
 
-    lam = max(1.0, 1.2 * s * C / n)
-    m = 16
-    while m < 6 * lam and m < 3 * C // 4:
-        m *= 2
-    if 3 * m + 2 > _OUT_W:
+    m = sketch_ops.candidate_budget(s, C, n)
+    if m > 3 * C // 4 or 3 * m + 2 > _OUT_W:
         return plain()
 
     seq = uppercase(chunks, preserve_case)

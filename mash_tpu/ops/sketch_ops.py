@@ -100,6 +100,22 @@ def sketch_chunk(hashes, valid, *, s: int):
     return _fold_sorted(h, c, s)
 
 
+def candidate_budget(s: int, C: int, n: int) -> int:
+    """Per-subrow candidate budget m for hierarchical bottom-s selection.
+
+    With uniform hashes, a C-wide subrow of an n-window chunk holds
+    Poisson(~1.2*s*C/n) of the globally relevant bottom hashes; a floor
+    of 16 plus 6 lambdas of headroom makes an overflow (-> verified
+    fallback) vanishingly rare while keeping the per-subrow selection
+    tiny.  Shared by the XLA fold and the fused Pallas kernel.
+    """
+    lam = max(1.0, 1.2 * s * C / n)
+    m = 16
+    while m < 6 * lam:
+        m *= 2
+    return m
+
+
 @functools.partial(jax.jit, static_argnames=("s", "use64"))
 def sketch_chunk_batch(hashes, valid, *, s: int, use64: bool = True):
     """Exact bottom-s fold of ``[B, n]`` hashed chunks, top-k windowed.
@@ -143,14 +159,7 @@ def sketch_chunk_batch(hashes, valid, *, s: int, use64: bool = True):
         lambda h, v: sketch_chunk(h, v, s=s)
     )(hashes, valid)
 
-    # Per-subrow candidate budget m: with uniform hashes, a subrow holds
-    # Poisson(~1.2*s*C/n) of the globally relevant bottom hashes; a floor
-    # of 16 plus 6 lambdas of headroom makes an overflow (-> verified
-    # fallback) vanishingly rare while keeping top_k tiny.
-    lam = max(1.0, 1.2 * s * C / n)
-    m = 16
-    while m < 6 * lam and m < C:
-        m *= 2
+    m = min(candidate_budget(s, C, n), C)
     R = (n + C - 1) // C
 
     # selection keys: high 32 hash bits (the hash itself in 32-bit mode),

@@ -57,6 +57,100 @@ def build_db_table(hash_lists: List[np.ndarray]):
     return uniq, seg_starts, sids
 
 
+def count_db_occurrences(h, v, db_hashes, counts):
+    """Add each DB hash's occurrence count in (h, v) to ``counts``.
+
+    ``counts`` has a trailing drop slot (index Hn) kept for historical
+    layout compatibility; only ``counts[:Hn]`` is updated.  Strategy by
+    DB size — TPU random access is the enemy: one XLA gather round over
+    a 1M-hash chunk costs ~9 ms, ``jnp.searchsorted`` is log2(Hn) such
+    rounds, and scatters are similar:
+
+    - <= 32k hashes: gather-free compare-reduce over DB tiles
+      (``count[j] += sum(h == db[j])``, ~1 ms per 1k DB per Mbase);
+    - <= 256k: sort the chunk once, binary-search from the DB side
+      (rank difference; dense in DB order, no scatter);
+    - larger: one 2-key sort of [chunk, db-before, db-after] sentinels
+      + cumsums + two ordinal scatters (~60 ms per 1M chunk x 1M DB).
+
+    All three are exact total-occurrence counts
+    (``CommandScreen.cpp:569-575``), including for a DB hash equal to
+    the 2^64-1 masking sentinel.  Shared by the single-device fold and
+    the mesh range-sharded fold.
+    """
+    Hn = db_hashes.shape[0]
+    COMPARE_REDUCE_MAX = 1 << 15
+    DB_SIDE_MAX = 1 << 18
+    if Hn == 0:
+        return counts
+    if Hn <= COMPARE_REDUCE_MAX:
+        rows = 1
+        while (h.shape[0] % (2 * rows) == 0) and rows < 64:
+            rows *= 2
+        hr = h.reshape(rows, -1)
+        vr = v.reshape(rows, -1)
+
+        def body(carry, xs):
+            xt, vt = xs
+            eq = (xt[:, None] == db_hashes[None, :]) & vt[:, None]
+            return (
+                carry + jnp.sum(eq, axis=0, dtype=counts.dtype),
+                0,
+            )
+
+        add, _ = jax.lax.scan(
+            body, jnp.zeros(Hn, counts.dtype), (hr, vr)
+        )
+    elif Hn <= DB_SIDE_MAX:
+        hs = jnp.sort(jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF)))
+        nv = jnp.sum(v, dtype=jnp.int32)
+        # entries sorted past nv are the masked invalid lanes (and any
+        # real EMPTY-valued hash among them would be a single 2^64-1
+        # run; clamp both bounds into the valid prefix)
+        left = jnp.minimum(
+            jnp.searchsorted(hs, db_hashes, side="left"), nv
+        )
+        right = jnp.minimum(
+            jnp.searchsorted(hs, db_hashes, side="right"), nv
+        )
+        add = (right - left).astype(counts.dtype)
+    else:
+        hm = jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+        vals = jnp.concatenate([hm, db_hashes, db_hashes])
+        flags = jnp.concatenate(
+            [
+                jnp.ones(hm.shape[0], jnp.int32),
+                jnp.zeros(Hn, jnp.int32),
+                jnp.full(Hn, 2, jnp.int32),
+            ]
+        )
+        sv, sf = jax.lax.sort((vals, flags), num_keys=2)
+        is_chunk = (sf == 1).astype(jnp.int32)
+        rank = jnp.cumsum(is_chunk)
+        ordb = jnp.cumsum((sf == 0).astype(jnp.int32)) - 1
+        orda = jnp.cumsum((sf == 2).astype(jnp.int32)) - 1
+        before = (
+            jnp.zeros(Hn, jnp.int32)
+            .at[jnp.where(sf == 0, ordb, Hn)]
+            .add(jnp.where(sf == 0, rank, 0), mode="drop")
+        )
+        after = (
+            jnp.zeros(Hn, jnp.int32)
+            .at[jnp.where(sf == 2, orda, Hn)]
+            .add(jnp.where(sf == 2, rank, 0), mode="drop")
+        )
+        # masked invalid lanes sort as 2^64-1; a real DB hash of that
+        # value must count only valid occurrences: all valid non-EMPTY
+        # chunk values rank below `before`, so nv - before is exact.
+        nv = jnp.sum(v, dtype=jnp.int32)
+        add = jnp.where(
+            db_hashes == jnp.uint64(0xFFFFFFFFFFFFFFFF),
+            nv - before,
+            after - before,
+        ).astype(counts.dtype)
+    return jnp.concatenate([counts[:Hn] + add, counts[Hn:]])
+
+
 def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     """Compile a (counts, state, chunk) -> (counts, state) fold step."""
     from mash_tpu.ops.kmers import alphabet_bytes
@@ -67,18 +161,6 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     use64 = params.use64
     noncanonical = params.noncanonical
     preserve_case = params.preserve_case
-    Hn = db_hashes.shape[0]
-
-    # Membership-count strategy by DB size.  TPU random access is the
-    # enemy: one XLA gather round over a 1M-hash chunk costs ~9 ms, and
-    # jnp.searchsorted is log2(Hn) such rounds (~200 ms/chunk), while a
-    # 1M-element scatter-add is ~10 ms.  For small/medium DBs a
-    # gather-free compare-reduce — count[j] += sum(h == db[j]), a
-    # broadcast-equality reduction that stays in Vv registers — is ~1 ms
-    # per 1k DB hashes per Mbase, 25-50x faster.  Above the crossover
-    # the binary-search + scatter path wins (linear vs log scaling).
-    COMPARE_REDUCE_MAX = 1 << 15
-    DB_SIDE_MAX = 1 << 18
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def fold(counts, state, chunk):
@@ -92,95 +174,7 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
             preserve_case=preserve_case,
         )
         h, v = jax.lax.optimization_barrier((h, v))
-        if 0 < Hn <= COMPARE_REDUCE_MAX:
-            rows = 1
-            while (h.shape[0] % (2 * rows) == 0) and rows < 64:
-                rows *= 2
-            hr = h.reshape(rows, -1)
-            vr = v.reshape(rows, -1)
-
-            def body(carry, xs):
-                xt, vt = xs
-                eq = (xt[:, None] == db_hashes[None, :]) & vt[:, None]
-                return (
-                    carry + jnp.sum(eq, axis=0, dtype=jnp.int32),
-                    0,
-                )
-
-            add, _ = jax.lax.scan(
-                body, jnp.zeros(Hn, jnp.int32), (hr, vr)
-            )
-            # counts carries a trailing drop slot (index Hn) used by the
-            # scatter path; leave it untouched here.
-            counts = jnp.concatenate(
-                [counts[:Hn] + add, counts[Hn:]]
-            )
-        elif Hn <= DB_SIDE_MAX:
-            # Mid-size DB: sort the chunk once and count from the DB side —
-            # count[j] = searchsorted_right(chunk, db[j]) - left.  The
-            # binary-search gather rounds then scale with Hn (the DB),
-            # not with the chunk length, and the result is dense in DB
-            # order so no scatter is needed.  ~3-20x the per-hash
-            # searchsorted+scatter formulation depending on Hn.
-            hs = jnp.sort(jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF)))
-            nv = jnp.sum(v, dtype=jnp.int32)
-            left = jnp.searchsorted(hs, db_hashes, side="left")
-            right = jnp.searchsorted(hs, db_hashes, side="right")
-            # entries sorted past nv are the masked invalid lanes (and
-            # any real EMPTY-valued hash among them would be a single
-            # 2^64-1 run; clamp both bounds into the valid prefix)
-            left = jnp.minimum(left, nv)
-            right = jnp.minimum(right, nv)
-            counts = jnp.concatenate(
-                [
-                    counts[:Hn] + (right - left).astype(counts.dtype),
-                    counts[Hn:],
-                ]
-            )
-        elif Hn > 0:
-            # Huge DB: one 2-key sort of [chunk, db-before, db-after]
-            # sentinels + cumsums + two ordinal scatters.  Each DB hash's
-            # occurrence count is the chunk-rank difference between its
-            # "after" sentinel (sorts after equal chunk values) and its
-            # "before" sentinel.  No binary search: ~60 ms per (1M chunk,
-            # 1M DB) vs ~600 ms for per-hash searchsorted + scatter.
-            hm = jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-            vals = jnp.concatenate([hm, db_hashes, db_hashes])
-            flags = jnp.concatenate(
-                [
-                    jnp.ones(hm.shape[0], jnp.int32),
-                    jnp.zeros(Hn, jnp.int32),
-                    jnp.full(Hn, 2, jnp.int32),
-                ]
-            )
-            sv, sf = jax.lax.sort((vals, flags), num_keys=2)
-            is_chunk = (sf == 1).astype(jnp.int32)
-            rank = jnp.cumsum(is_chunk)
-            ordb = jnp.cumsum((sf == 0).astype(jnp.int32)) - 1
-            orda = jnp.cumsum((sf == 2).astype(jnp.int32)) - 1
-            before = (
-                jnp.zeros(Hn, jnp.int32)
-                .at[jnp.where(sf == 0, ordb, Hn)]
-                .add(jnp.where(sf == 0, rank, 0), mode="drop")
-            )
-            after = (
-                jnp.zeros(Hn, jnp.int32)
-                .at[jnp.where(sf == 2, orda, Hn)]
-                .add(jnp.where(sf == 2, rank, 0), mode="drop")
-            )
-            # masked invalid lanes sort as 2^64-1; a (vanishingly rare
-            # but possible) real DB hash of that value must count only
-            # valid occurrences: all valid non-EMPTY chunk values rank
-            # below `before`, so nv - before is the exact EMPTY count.
-            nv = jnp.sum(v, dtype=jnp.int32)
-            add = jnp.where(
-                db_hashes == jnp.uint64(0xFFFFFFFFFFFFFFFF),
-                nv - before,
-                after - before,
-            )
-            counts = jnp.concatenate(
-                [counts[:Hn] + add.astype(counts.dtype), counts[Hn:]]
-            )
+        counts = count_db_occurrences(h, v, db_hashes, counts)
         sh, sc = sketch_ops.sketch_chunk_batch(
             h[None], v[None], s=s, use64=use64
         )

@@ -146,53 +146,9 @@ def make_sharded_screen_fn(mesh: Mesh, params, s: int):
             noncanonical=params.noncanonical,
             preserve_case=params.preserve_case,
         )
-        Hn = db_local.shape[0]
-        if Hn <= (1 << 15):
-            # gather-free compare-reduce (see ops.screen_ops); with the
-            # DB range-sharded, each device's slice is usually small
-            # enough for this path even when the full DB is not.
-            rows = 1
-            while (h.shape[0] % (2 * rows) == 0) and rows < 64:
-                rows *= 2
-            hr = h.reshape(rows, -1)
-            vr = v.reshape(rows, -1)
+        from mash_tpu.ops.screen_ops import count_db_occurrences
 
-            def body(carry, xs):
-                xt, vt = xs
-                eq = (xt[:, None] == db_local[None, :]) & vt[:, None]
-                return (
-                    carry + jnp.sum(eq, axis=0, dtype=counts_local.dtype),
-                    0,
-                )
-
-            add, _ = jax.lax.scan(
-                body,
-                jnp.zeros(Hn, counts_local.dtype),
-                (hr, vr),
-            )
-            counts_local = jnp.concatenate(
-                [counts_local[:Hn] + add, counts_local[Hn:]]
-            )
-        else:
-            # DB-side counting into the sorted chunk (see
-            # ops.screen_ops): dense in DB order, no scatter.
-            hs = jnp.sort(
-                jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
-            )
-            nv = jnp.sum(v, dtype=jnp.int32)
-            left = jnp.minimum(
-                jnp.searchsorted(hs, db_local, side="left"), nv
-            )
-            right = jnp.minimum(
-                jnp.searchsorted(hs, db_local, side="right"), nv
-            )
-            counts_local = jnp.concatenate(
-                [
-                    counts_local[:Hn]
-                    + (right - left).astype(counts_local.dtype),
-                    counts_local[Hn:],
-                ]
-            )
+        counts_local = count_db_occurrences(h, v, db_local, counts_local)
         bh, bc = sketch_ops.sketch_chunk_batch(
             h[None], v[None], s=s, use64=params.use64
         )

@@ -230,36 +230,45 @@ class CommandDistance(Command):
             denom,
         )
 
+        # Vectorized row formatting (np.char.mod is C printf "%.6g",
+        # identical to cpp_double for the finite values produced here).
+        refs = sketch_ref.references
         for i, qry in enumerate(sketch_query.references):
+            drow = dist[i]
+            prow = pvals[i]
+            passed = np.ones(len(refs), dtype=bool)
+            if distance_max >= 0:
+                passed &= drow <= distance_max
+            if pvalue_max >= 0:
+                passed &= prow <= pvalue_max
             if table:
+                dstr = np.char.mod("%.6g", drow)
+                cells = np.where(passed, dstr, "")
                 out.write(qry.name)
-            for j, ref in enumerate(sketch_ref.references):
-                d = float(dist[i, j])
-                p = float(pvals[i, j])
-                passed = not (
-                    (distance_max >= 0 and d > distance_max)
-                    or (pvalue_max >= 0 and p > pvalue_max)
-                )
-                if table:
-                    out.write("\t")
-                    if passed:
-                        out.write(cpp_double(d))
-                elif passed:
-                    rn = ref.name + (":" + ref.comment if comment else "")
-                    qn = qry.name + (":" + qry.comment if comment else "")
-                    out.write(
-                        "%s\t%s\t%s\t%s\t%d/%d\n"
-                        % (
-                            rn,
-                            qn,
-                            cpp_double(d),
-                            cpp_double(p),
-                            int(common[i, j]),
-                            int(denom[i, j]),
-                        )
-                    )
-            if table:
+                out.write("\t")
+                out.write("\t".join(cells))
                 out.write("\n")
+                continue
+            if not passed.any():
+                continue
+            idx = np.nonzero(passed)[0]
+            dstr = np.char.mod("%.6g", drow[idx])
+            pstr = np.char.mod("%.6g", prow[idx])
+            qn = qry.name + (":" + qry.comment if comment else "")
+            for t, j in enumerate(idx):
+                ref = refs[j]
+                rn = ref.name + (":" + ref.comment if comment else "")
+                out.write(
+                    "%s\t%s\t%s\t%s\t%d/%d\n"
+                    % (
+                        rn,
+                        qn,
+                        dstr[t],
+                        pstr[t],
+                        int(common[i, j]),
+                        int(denom[i, j]),
+                    )
+                )
 
         if warning_count > 0 and not params.reads:
             warn_kmer_size(

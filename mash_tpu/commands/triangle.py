@@ -169,37 +169,47 @@ class CommandTriangle(Command):
             common, lengths[None, :], lengths[:, None], kmer_space, denom
         )
 
+        # Vectorized formatting: np.char.mod is C printf "%.6g", the
+        # same 6-significant-digit form as cpp_double for finite values
+        # (distances are clamped to [0,1], p-values to [0,1]); per-cell
+        # python formatting would dominate large-N triangles.
         pvalue_peak = 0.0
         for i in range(1, n):
             ri = refs[i]
-            if not edge:
-                out.write(ri.comment if comment else ri.name)
-            for j in range(i):
-                d = float(dist[i, j])
-                p = float(pvals[i, j])
-                if edge:
-                    passed = not (
-                        (distance_max >= 0 and d > distance_max)
-                        or (pvalue_max >= 0 and p > pvalue_max)
-                    )
-                    if passed:
-                        rj = refs[j]
-                        out.write(
-                            "%s\t%s\t%s\t%s\t%d/%d\n"
-                            % (
-                                ri.comment if comment else ri.name,
-                                rj.comment if comment else rj.name,
-                                cpp_double(d),
-                                cpp_double(p),
-                                int(common[i, j]),
-                                int(denom[i, j]),
-                            )
+            drow = dist[i, :i]
+            prow = pvals[i, :i]
+            if len(prow):
+                pvalue_peak = max(pvalue_peak, float(prow.max()))
+            if edge:
+                passed = np.ones(i, dtype=bool)
+                if distance_max >= 0:
+                    passed &= drow <= distance_max
+                if pvalue_max >= 0:
+                    passed &= prow <= pvalue_max
+                if not passed.any():
+                    continue
+                idx = np.nonzero(passed)[0]
+                dstr = np.char.mod("%.6g", drow[idx])
+                pstr = np.char.mod("%.6g", prow[idx])
+                name_i = ri.comment if comment else ri.name
+                for t, j in enumerate(idx):
+                    rj = refs[j]
+                    out.write(
+                        "%s\t%s\t%s\t%s\t%d/%d\n"
+                        % (
+                            name_i,
+                            rj.comment if comment else rj.name,
+                            dstr[t],
+                            pstr[t],
+                            int(common[i, j]),
+                            int(denom[i, j]),
                         )
-                else:
-                    out.write("\t" + cpp_double(d))
-                if p > pvalue_peak:
-                    pvalue_peak = p
-            if not edge:
+                    )
+            else:
+                out.write(ri.comment if comment else ri.name)
+                if i:
+                    out.write("\t")
+                    out.write("\t".join(np.char.mod("%.6g", drow)))
                 out.write("\n")
 
         if not edge:

@@ -182,9 +182,9 @@ class CommandScreen(Command):
 
         s = params.min_hashes_per_window
         k = params.kmer_size
-        db_dev = jnp.asarray(db_hashes)
-        fold = screen_ops.make_screen_fold(params, db_dev, s)
-        counts = jnp.zeros((len(db_hashes) + 1,), dtype=jnp.int64)
+        fold, counts, finalize_counts = screen_ops.make_screen_fold_auto(
+            params, db_hashes, s
+        )
         state = sketch_ops.empty_state(s)
 
         records = read_fastx_multi(self.arguments[1:], round_robin=True)
@@ -230,7 +230,7 @@ class CommandScreen(Command):
             err.write("WARNING: no valid k-mers in input.\n")
 
         err.write("Summing shared...\n")
-        counts_host = np.asarray(counts)[: len(db_hashes)]
+        counts_host = finalize_counts(counts)
         min_cov = 1
         shared, depths = screen_ops.tally_shared(
             counts_host, seg_starts, ref_ids, len(refs), min_cov

@@ -189,9 +189,9 @@ class CommandTaxScreen(Command):
 
         s = params.min_hashes_per_window
         k = params.kmer_size
-        db_dev = jnp.asarray(db_hashes)
-        fold = screen_ops.make_screen_fold(params, db_dev, s)
-        counts_dev = jnp.zeros((len(db_hashes) + 1,), dtype=jnp.int64)
+        fold, counts_dev, finalize_counts = (
+            screen_ops.make_screen_fold_auto(params, db_hashes, s)
+        )
         state = sketch_ops.empty_state(s)
 
         records = read_fastx_multi(self.arguments[1:], round_robin=True)
@@ -235,7 +235,7 @@ class CommandTaxScreen(Command):
             err.write("WARNING: no valid k-mers in input.\n")
 
         err.write("Assigning LCA taxIDs to hashes ...\n")
-        counts_host = np.asarray(counts_dev)[: len(db_hashes)]
+        counts_host = finalize_counts(counts_dev)
         min_cov = 1
         tax_ids_arr = np.array(reference_tax_ids, dtype=np.int64)
 

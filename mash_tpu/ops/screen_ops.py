@@ -184,6 +184,52 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     return fold
 
 
+def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
+    """Device-count-aware screen fold.
+
+    Returns ``(fold, counts0, finalize)``: ``fold(counts, state, chunk)
+    -> (counts, state)``; ``finalize(counts) -> np.ndarray[H]`` undoes
+    the internal layout.  With several devices the DB is contiguously
+    range-sharded over the default mesh (each device counts only its
+    range — a hash falls in exactly one range) and the cardinality
+    state is merged collectively; single-device uses the plain fold.
+    """
+    H = len(db_hashes)
+    n_dev = len(jax.devices())
+    if n_dev > 1 and H > 0:
+        from mash_tpu.parallel import mesh as pmesh
+
+        per = -(-H // n_dev)
+        pad = per * n_dev - H
+        dbp = np.concatenate(
+            [
+                np.asarray(db_hashes, np.uint64),
+                np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF)),
+            ]
+        )
+        fn = pmesh.make_sharded_screen_fn(pmesh.default_mesh(), params, s)
+        db_dev = jnp.asarray(dbp)
+        counts0 = jnp.zeros(n_dev * (per + 1), dtype=jnp.int64)
+
+        def fold(counts, state, chunk):
+            c2, sh, sc = fn(db_dev, counts, state[0], state[1], chunk)
+            return c2, (sh, sc)
+
+        def finalize(counts):
+            c = np.asarray(counts).reshape(n_dev, per + 1)
+            return c[:, :per].reshape(-1)[:H]
+
+        return fold, counts0, finalize
+
+    fold = make_screen_fold(params, jnp.asarray(db_hashes), s)
+    counts0 = jnp.zeros(H + 1, dtype=jnp.int64)
+
+    def finalize(counts):
+        return np.asarray(counts)[:H]
+
+    return fold, counts0, finalize
+
+
 def tally_shared(
     counts: np.ndarray,
     seg_starts: np.ndarray,

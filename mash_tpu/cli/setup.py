@@ -83,12 +83,14 @@ def sketch_parameter_setup(command) -> SketchParams | None:
     if p.reads and command.get_option("threads").active:
         err.write("WARNING: The option p will be ignored with r.\n")
 
-    if p.reads and not p.concatenated:
-        err.write("ERROR: The option i cannot be used with r.\n")
+    if p.reads and p.windowed:
+        # check before the -i implication so the message names the
+        # option the user actually passed
+        err.write("ERROR: r and W are incompatible.\n")
         return None
 
-    if p.concatenated and p.windowed:
-        err.write("ERROR: c and W are incompatible.\n")
+    if p.reads and not p.concatenated:
+        err.write("ERROR: The option i cannot be used with r.\n")
         return None
 
     if command.get_option("protein").active:

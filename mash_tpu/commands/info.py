@@ -5,7 +5,11 @@ from __future__ import annotations
 import sys
 
 from mash_tpu.cli.command import Command, Option
-from mash_tpu.core.loader import has_suffix, SUFFIX_SKETCH
+from mash_tpu.core.loader import (
+    has_suffix,
+    SUFFIX_SKETCH,
+    SUFFIX_SKETCH_WINDOWED,
+)
 from mash_tpu.core.params import SketchParams
 from mash_tpu.io import capnp_msh
 from mash_tpu.io.formatting import json_dump
@@ -103,7 +107,13 @@ class CommandInfo(Command):
                     return 1
 
         path = self.arguments[0]
-        if not has_suffix(path, SUFFIX_SKETCH):
+        # also accept windowed sketches (.msw) — the reference's info
+        # rejects them (CommandInfo.cpp:94), but they are first-class
+        # outputs of `sketch -W` here and decode with the same reader
+        if not (
+            has_suffix(path, SUFFIX_SKETCH)
+            or has_suffix(path, SUFFIX_SKETCH_WINDOWED)
+        ):
             err.write(
                 'ERROR: The file "%s" does not look like a sketch.\n' % path
             )

@@ -51,6 +51,44 @@ def _packed_chunks(records, k: int, chunk_len: int) -> Iterator[bytes]:
         yield bytes(buf)
 
 
+def stream_fold(fold, counts, state, records, k, trans, chunk_len=1 << 20):
+    """Drive a screen fold over packed record chunks.
+
+    Shared by ``screen`` and ``taxscreen``: packs records into
+    0x00-separated ~1MiB chunks (the reference's '*'-separated blocks,
+    ``CommandScreen.cpp:192-270``), optionally 6-frame translates them,
+    and folds each through the device step.  Returns
+    ``(counts, state, saw_any)``.
+    """
+    from mash_tpu.ops import screen_ops
+
+    saw_any = False
+    for raw in _packed_chunks(records, k, chunk_len):
+        saw_any = True
+        if trans:
+            arr = np.frombuffer(raw, dtype=np.uint8)
+            arr = np.where(
+                (arr > 96) & (arr < 123), arr - 32, arr
+            ).astype(np.uint8)
+            for frame in screen_ops.translate_frames(arr):
+                if len(frame) < k:
+                    continue
+                padded = _pad_to_bucket(frame.tobytes(), chunk_len)
+                counts, state = fold(
+                    counts,
+                    state,
+                    jnp.asarray(np.frombuffer(padded, np.uint8)),
+                )
+        else:
+            padded = _pad_to_bucket(raw, chunk_len)
+            counts, state = fold(
+                counts,
+                state,
+                jnp.asarray(np.frombuffer(padded, np.uint8)),
+            )
+    return counts, state, saw_any
+
+
 def _pad_to_bucket(chunk: bytes, chunk_len: int) -> bytes:
     for b in _BUCKETS:
         if len(chunk) <= b:
@@ -188,34 +226,12 @@ class CommandScreen(Command):
         state = sketch_ops.empty_state(s)
 
         records = read_fastx_multi(self.arguments[1:], round_robin=True)
-        chunk_len = 1 << 20
-        saw_any = False
         # record length gate: translated mode packs by nucleotide length
         # >= k, matching l >= kmerSize in the reference (the translated
         # k-mer needs 3k bases, but the gate is on bases, as there).
-        for raw in _packed_chunks(records, k, chunk_len):
-            saw_any = True
-            if trans:
-                arr = np.frombuffer(raw, dtype=np.uint8)
-                arr = np.where(
-                    (arr > 96) & (arr < 123), arr - 32, arr
-                ).astype(np.uint8)
-                for frame in screen_ops.translate_frames(arr):
-                    if len(frame) < k:
-                        continue
-                    padded = _pad_to_bucket(frame.tobytes(), chunk_len)
-                    counts, state = fold(
-                        counts,
-                        state,
-                        jnp.asarray(np.frombuffer(padded, np.uint8)),
-                    )
-            else:
-                padded = _pad_to_bucket(raw, chunk_len)
-                counts, state = fold(
-                    counts,
-                    state,
-                    jnp.asarray(np.frombuffer(padded, np.uint8)),
-                )
+        counts, state, saw_any = stream_fold(
+            fold, counts, state, records, k, trans
+        )
 
         if not saw_any:
             err.write("\nERROR: Did not find sequence records in inputs\n")

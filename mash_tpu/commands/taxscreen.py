@@ -13,7 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from mash_tpu.cli.command import Command, Option
-from mash_tpu.commands.screen import _packed_chunks, _pad_to_bucket
+from mash_tpu.commands.screen import stream_fold
 from mash_tpu.core.loader import (
     SUFFIX_SKETCH,
     has_suffix,
@@ -151,8 +151,17 @@ class CommandTaxScreen(Command):
             with open(mapping_file) as f:
                 for line in f:
                     parts = line.rstrip("\n").split(None, 1)
-                    if len(parts) == 2:
-                        ref_tax_map[parts[1]] = int(parts[0])
+                    if len(parts) != 2:
+                        continue
+                    try:
+                        tax_id = int(parts[0])
+                    except ValueError:
+                        # the reference's `mappingFile >> taxID` stream
+                        # extraction fails and stops reading here
+                        # (CommandTaxScreen.cpp:128); match that rather
+                        # than crashing
+                        break
+                    ref_tax_map[parts[1]] = tax_id
             for i, ref in enumerate(refs):
                 reference_tax_ids[i] = ref_tax_map.get(ref.name, 0)
         for i, ref in enumerate(refs):
@@ -195,31 +204,9 @@ class CommandTaxScreen(Command):
         state = sketch_ops.empty_state(s)
 
         records = read_fastx_multi(self.arguments[1:], round_robin=True)
-        chunk_len = 1 << 20
-        saw_any = False
-        for raw in _packed_chunks(records, k, chunk_len):
-            saw_any = True
-            if trans:
-                arr = np.frombuffer(raw, dtype=np.uint8)
-                arr = np.where(
-                    (arr > 96) & (arr < 123), arr - 32, arr
-                ).astype(np.uint8)
-                for frame in screen_ops.translate_frames(arr):
-                    if len(frame) < k:
-                        continue
-                    padded = _pad_to_bucket(frame.tobytes(), chunk_len)
-                    counts_dev, state = fold(
-                        counts_dev,
-                        state,
-                        jnp.asarray(np.frombuffer(padded, np.uint8)),
-                    )
-            else:
-                padded = _pad_to_bucket(raw, chunk_len)
-                counts_dev, state = fold(
-                    counts_dev,
-                    state,
-                    jnp.asarray(np.frombuffer(padded, np.uint8)),
-                )
+        counts_dev, state, saw_any = stream_fold(
+            fold, counts_dev, state, records, k, trans
+        )
         if not saw_any:
             err.write("\nERROR: Did not find sequence records in inputs\n")
             raise SystemExit(1)
@@ -240,7 +227,6 @@ class CommandTaxScreen(Command):
         tax_ids_arr = np.array(reference_tax_ids, dtype=np.int64)
 
         counts: dict = {}
-        seg_len = np.diff(seg_starts)
         for h_idx in range(len(db_hashes)):
             lca = 0
             for e in range(seg_starts[h_idx], seg_starts[h_idx + 1]):

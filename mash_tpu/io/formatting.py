@@ -68,6 +68,9 @@ def json_dump(
             a('\t\t\t"counts" :\n')
             a("\t\t\t[\n")
             for j in range(len(ref.counts)):
+                # comma keyed to the HASH count, not the counts length —
+                # replicating the reference exactly
+                # (CommandInfo.cpp:273: j < ref.hashesSorted.size()-1)
                 a(
                     "\t\t\t\t%d%s\n"
                     % (int(ref.counts[j]), "," if j < n - 1 else "")

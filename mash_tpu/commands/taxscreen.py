@@ -48,6 +48,9 @@ class CommandTaxScreen(Command):
         super().__init__()
         self.use_option("help")
         self.use_option("threads")
+        # NB: the reference declares -i/-v but never applies them in
+        # taxscreen (CommandTaxScreen.cpp:73-74 reads the values and no
+        # code uses them); they are accepted-but-inert here for parity.
         self.add_option(
             "identity",
             Option(

@@ -142,6 +142,39 @@ def test_paste_then_info(tmp_path, reference_test_dir):
     assert rc == 1
 
 
+def test_32bit_mode_end_to_end(tmp_path, reference_test_dir):
+    """k=16 -> 32-bit hashes (|Sigma|^k <= 2^32) through sketch+dist.
+
+    The goldens only exercise k=21/64-bit; this pins the 32-bit wire
+    format and kernels end-to-end: self-distance 0 with full sharing,
+    and .msh round-trip through info -d.
+    """
+    m = tmp_path / "r16.msh"
+    rc, _ = _run(
+        [
+            "sketch",
+            "-k",
+            "16",
+            "-o",
+            str(m),
+            str(reference_test_dir / "reads1.fastq"),
+        ]
+    )
+    assert rc == 0
+    rc, out = _run(["dist", str(m), str(m)])
+    assert rc == 0
+    cols = out.splitlines()[0].split("\t")
+    assert cols[2] == "0" and cols[4] == "1000/1000", out
+    rc, dump = _run(["info", "-d", str(m)])
+    assert rc == 0
+    import json
+
+    doc = json.loads(dump)
+    assert doc["kmer"] == 16
+    assert doc["hashBits"] == 32
+    assert all(h < 2**32 for h in doc["sketches"][0]["hashes"][:50])
+
+
 def test_info_count_histogram(tmp_path, reference_test_dir):
     m = tmp_path / "r.msh"
     rc, _ = _run(

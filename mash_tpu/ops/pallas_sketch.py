@@ -340,23 +340,25 @@ def _kernel(bytes_ref, out_ref, *, C, SR, k, seed, use64,
         # x64, which Mosaic cannot lower
         his.append(jnp.sum(jnp.where(sel, hh, _I0), axis=1, dtype=jnp.int32))
         los.append(jnp.sum(jnp.where(sel, hl, _I0), axis=1, dtype=jnp.int32))
-        vals.append(jnp.sum(jnp.where(sel, val_i, _I0), axis=1, dtype=jnp.int32))
+        # Candidate validity derives from the extracted key: invalid
+        # lanes carry MAXK, and re-extracted (exhausted) lanes see MAXK
+        # too, so they report 0.  A *valid* window whose key genuinely
+        # equals MAXK (hash hi-32 == 0xFFFFFFFF) is conservatively
+        # dropped here; sum(cand_v) then undercounts sum(vcount), the
+        # all-captured certificate fails, and the exact fallback runs —
+        # sound, and it keeps the loop two passes cheaper per round.
+        vals.append((cur[:, 0] != MAXK).astype(jnp.int32))
         keyb = jnp.where(sel, MAXK, keyb)
-        # Clear validity too: a valid window whose key equals the MAXK
-        # sentinel (hash hi-32 == 0xFFFFFFFF) would otherwise be
-        # re-extracted as "valid" on leftover iterations, inflating
-        # sum(cand_v) and making the all-captured certificate unsound.
-        val_i = jnp.where(sel, _I0, val_i)
     boundary = jnp.min(keyb, axis=1)  # (m+1)-th smallest key (or MAX)
 
-    out = jnp.stack(
-        his
-        + los
-        + vals
-        + [boundary, vcount]
-        + [jnp.zeros((SR,), jnp.int32)] * (_OUT_W - 3 * m - 2),
-        axis=1,
-    )
+    # Assemble the packed output with masked column broadcasts: a
+    # jnp.stack of ~50 [SR] vectors would cost a sublane->lane relayout
+    # per column; broadcasting each vector across lanes and selecting
+    # its column is much cheaper on the VPU.
+    lane_out = jax.lax.broadcasted_iota(jnp.int32, (SR, _OUT_W), 1)
+    out = jnp.zeros((SR, _OUT_W), jnp.int32)
+    for col, vec in enumerate(his + los + vals + [boundary, vcount]):
+        out = jnp.where(lane_out == np.int32(col), vec[:, None], out)
     out_ref[:] = out
 
 

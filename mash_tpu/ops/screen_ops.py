@@ -209,7 +209,9 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
         )
         fn = pmesh.make_sharded_screen_fn(pmesh.default_mesh(), params, s)
         db_dev = jnp.asarray(dbp)
-        counts0 = jnp.zeros(n_dev * (per + 1), dtype=jnp.int64)
+        # uint32 like the reference's atomic counters
+        # (CommandScreen.h:106); int64 would run emulated on TPU lanes.
+        counts0 = jnp.zeros(n_dev * (per + 1), dtype=jnp.uint32)
 
         def fold(counts, state, chunk):
             c2, sh, sc = fn(db_dev, counts, state[0], state[1], chunk)
@@ -222,7 +224,7 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
         return fold, counts0, finalize
 
     fold = make_screen_fold(params, jnp.asarray(db_hashes), s)
-    counts0 = jnp.zeros(H + 1, dtype=jnp.int64)
+    counts0 = jnp.zeros(H + 1, dtype=jnp.uint32)
 
     def finalize(counts):
         return np.asarray(counts)[:H]

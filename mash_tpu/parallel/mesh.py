@@ -188,7 +188,7 @@ def sharded_screen_counts(
     state_h, state_c = sketch_ops.empty_state(s)
     db = db_hashes.reshape(n_dev, per)
     # one extra 'drop' slot per device range for non-hits
-    counts2 = jnp.zeros((n_dev, per + 1), dtype=jnp.int64)
+    counts2 = jnp.zeros((n_dev, per + 1), dtype=jnp.uint32)
     for chunk in chunks:
         counts2, state_h, state_c = fn(
             db.reshape(-1),

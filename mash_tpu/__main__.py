@@ -66,6 +66,17 @@ def main(argv=None) -> int:
             return command.parse(argv[1:])
     except BrokenPipeError:
         return 0
+    except OSError as e:
+        # the reference reports unreadable inputs with cerr + exit(1)
+        # (e.g. Sketch.cpp:195-199, CommandFind.cpp:131)
+        name = getattr(e, "filename", None)
+        if name:
+            sys.stderr.write(
+                "ERROR: could not open %s for reading.\n" % name
+            )
+        else:
+            sys.stderr.write("ERROR: %s\n" % e)
+        return 1
 
 
 if __name__ == "__main__":

@@ -211,15 +211,14 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
         db_dev = jnp.asarray(dbp)
         # uint32 like the reference's atomic counters
         # (CommandScreen.h:106); int64 would run emulated on TPU lanes.
-        counts0 = jnp.zeros(n_dev * (per + 1), dtype=jnp.uint32)
+        counts0 = jnp.zeros(per * n_dev, dtype=jnp.uint32)
 
         def fold(counts, state, chunk):
             c2, sh, sc = fn(db_dev, counts, state[0], state[1], chunk)
             return c2, (sh, sc)
 
         def finalize(counts):
-            c = np.asarray(counts).reshape(n_dev, per + 1)
-            return c[:, :per].reshape(-1)[:H]
+            return np.asarray(counts)[:H]
 
         return fold, counts0, finalize
 

@@ -79,9 +79,29 @@ def make_sharded_sketch_fn(mesh: Mesh, params, s: int):
     return jax.jit(fn)
 
 
+_SKETCH_FN_CACHE: dict = {}
+
+
 def sharded_sketch_chunks(mesh: Mesh, params, chunks, s: int):
-    """Sketch a [B, L] uint8 chunk batch across the mesh."""
-    fn = make_sharded_sketch_fn(mesh, params, s)
+    """Sketch a [B, L] uint8 chunk batch across the mesh.
+
+    The compiled fn is cached per parameter signature — a fresh
+    shard_map+jit wrapper per call would recompile every invocation.
+    """
+    key = (
+        tuple(d.id for d in mesh.devices.flat),
+        params.kmer_size,
+        params.seed,
+        params.use64,
+        params.noncanonical,
+        params.preserve_case,
+        params.alphabet,
+        s,
+    )
+    fn = _SKETCH_FN_CACHE.get(key)
+    if fn is None:
+        fn = make_sharded_sketch_fn(mesh, params, s)
+        _SKETCH_FN_CACHE[key] = fn
     return fn(chunks)
 
 
@@ -152,12 +172,14 @@ def make_sharded_screen_fn(mesh: Mesh, params, s: int):
         bh, bc = sketch_ops.sketch_chunk_batch(
             h[None], v[None], s=s, use64=params.use64
         )
+        # The chunk is replicated, so every device computes an identical
+        # state; merging once with the carried state is the final value.
+        # (An all_gather + re-merge here would multiply every hash count
+        # by n_dev per chunk — geometric inflation that corrupts the
+        # multiplicity/cardinality estimators.)
         sh, sc = sketch_ops.merge_states(
             (state_h, state_c), (bh[0], bc[0]), s=s
         )
-        gh = jax.lax.all_gather(sh, AXIS)
-        gc = jax.lax.all_gather(sc, AXIS)
-        sh, sc = sketch_ops.tree_merge(gh, gc, s=s)
         return counts_local, sh, sc
 
     fn = shard_map(
@@ -175,28 +197,19 @@ def sharded_screen_counts(
 ):
     """Count DB-hash occurrences over streamed chunks on a mesh.
 
-    ``db_hashes`` must be sorted and padded (with 2^64-1) to a multiple of
-    the mesh size; per-range sentinel collisions are avoided because
-    padding never matches real hashes < 2^64-1 and the extra 'drop' slot
-    absorbs misses.  Returns (counts[H], state).
+    ``db_hashes`` must be sorted and padded (with 2^64-1) to a multiple
+    of the mesh size; sentinel padding never matches real hashes below
+    2^64-1, so padded slots simply count nothing (pad entries are
+    stripped by the caller).  Returns (counts[H], state).
     """
     n_dev = mesh.devices.size
     H = db_hashes.shape[0]
     assert H % n_dev == 0
     fn = make_sharded_screen_fn(mesh, params, s)
-    per = H // n_dev
     state_h, state_c = sketch_ops.empty_state(s)
-    db = db_hashes.reshape(n_dev, per)
-    # one extra 'drop' slot per device range for non-hits
-    counts2 = jnp.zeros((n_dev, per + 1), dtype=jnp.uint32)
+    counts = jnp.zeros(H, dtype=jnp.uint32)
     for chunk in chunks:
-        counts2, state_h, state_c = fn(
-            db.reshape(-1),
-            counts2.reshape(-1),
-            state_h,
-            state_c,
-            chunk,
+        counts, state_h, state_c = fn(
+            db_hashes, counts, state_h, state_c, chunk
         )
-        counts2 = counts2.reshape(n_dev, per + 1)
-    out = np.asarray(counts2)[:, :per].reshape(-1)
-    return out, (state_h, state_c)
+    return np.asarray(counts), (state_h, state_c)

@@ -67,19 +67,37 @@ def stage(name: str):
 
 @contextlib.contextmanager
 def maybe_trace():
-    """JAX profiler trace of the enclosed block if MASH_TPU_TRACE is set."""
+    """JAX profiler trace of the enclosed block if MASH_TPU_TRACE is set.
+
+    Only the trace machinery itself is guarded — exceptions raised by
+    the traced body must propagate unchanged (a try around the yield
+    would swallow user errors and re-yield, which breaks the generator
+    protocol).
+    """
     trace_dir = os.environ.get("MASH_TPU_TRACE")
     if not trace_dir:
         yield
         return
-    import jax
 
+    ctx = None
     try:
-        with jax.profiler.trace(trace_dir):
-            sys.stderr.write(
-                "Writing JAX profiler trace to %s\n" % trace_dir
-            )
-            yield
+        import jax
+
+        ctx = jax.profiler.trace(trace_dir)
+        ctx.__enter__()
+        sys.stderr.write(
+            "Writing JAX profiler trace to %s\n" % trace_dir
+        )
     except Exception as e:  # tracing must never break the command
         sys.stderr.write("WARNING: profiler trace failed: %s\n" % e)
+        ctx = None
+    try:
         yield
+    finally:
+        if ctx is not None:
+            try:
+                ctx.__exit__(None, None, None)
+            except Exception as e:
+                sys.stderr.write(
+                    "WARNING: profiler trace failed: %s\n" % e
+                )

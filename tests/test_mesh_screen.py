@@ -60,3 +60,9 @@ def test_sharded_screen_counts_match_single_device():
     np.testing.assert_array_equal(
         np.asarray(state_mesh[0]), np.asarray(state[0])
     )
+    # counts too: a replicated-state re-merge bug once inflated these by
+    # n_dev per chunk (corrupting the multiplicity/cardinality
+    # estimators) while leaving the hash set identical
+    np.testing.assert_array_equal(
+        np.asarray(state_mesh[1]), np.asarray(state[1])
+    )

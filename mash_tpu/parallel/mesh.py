@@ -10,8 +10,8 @@ Communication design (ICI-friendly, all static-shape):
 
 - **Pairwise distance** (model parallel over query rows): the sketch
   matrix is replicated (or left sharded by rows); each device computes its
-  row block against all references with the searchsorted intersection
-  kernel; outputs stay row-sharded.
+  row block against all references with the backend-dispatched pairwise
+  intersection kernel (Pallas on TPU); outputs stay row-sharded.
 
 - **Screen** (table parallel over DB hash ranges): the sorted DB hash
   array and its count vector are contiguously range-sharded; streamed

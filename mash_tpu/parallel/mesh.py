@@ -16,8 +16,8 @@ Communication design (ICI-friendly, all static-shape):
 - **Screen** (table parallel over DB hash ranges): the sorted DB hash
   array and its count vector are contiguously range-sharded; streamed
   chunks are replicated to all devices, each device counts hits only in
-  its own range (a hash falls in exactly one range, so per-ref tallies are
-  exact after a ``psum``/host gather).
+  its own range (a hash falls in exactly one range, so concatenating the
+  per-range counts is exact).
 """
 
 from __future__ import annotations
@@ -148,9 +148,10 @@ def make_sharded_screen_fn(mesh: Mesh, params, s: int):
     """Compile (counts_sharded, state, chunk_replicated) -> updated.
 
     ``db_hashes`` and ``counts`` are contiguously range-sharded on the
-    mesh; the chunk is replicated; each device searches only its range.
-    The bottom-s cardinality state is kept replicated via all_gather
-    merge.
+    mesh; the chunk is replicated; each device counts only its range.
+    The bottom-s cardinality state is computed identically on every
+    device from the replicated chunk, so it stays replicated without
+    communication.
     """
     from mash_tpu.ops.kmers import alphabet_bytes
 

@@ -210,7 +210,8 @@ class CommandDistance(Command):
             [r.hashes for r in sketch_query.references], width
         )
         common, denom = common_denom_tiled(
-            qry_h, qry_n, ref_h, ref_n, cap
+            qry_h, qry_n, ref_h, ref_n, cap,
+            use64=sketch_ref.params.use64,
         )
 
         k = sketch_ref.params.kmer_size

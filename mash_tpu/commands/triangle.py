@@ -157,7 +157,9 @@ class CommandTriangle(Command):
             cap, max((len(r.hashes) for r in refs), default=1)
         )
         H, N = pad_sketches([r.hashes for r in refs], width)
-        common, denom = common_denom_tiled(H, N, H, N, cap)
+        common, denom = common_denom_tiled(
+            H, N, H, N, cap, use64=sketch.params.use64
+        )
 
         k = sketch.params.kmer_size
         kmer_space = sketch.params.kmer_space

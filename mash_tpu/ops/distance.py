@@ -174,18 +174,23 @@ def pairwise_containment(ref, nref, qry, nqry):
     return f(qry, nqry, ref, nref)
 
 
-def pairwise_common_denom_auto(qry, nqry, ref, nref, *, cap: int):
+def pairwise_common_denom_auto(
+    qry, nqry, ref, nref, *, cap: int, use64: bool = True
+):
     """Backend-dispatched all-pairs kernel.
 
     On TPU uses the Pallas VMEM-tiled merge kernel
-    (``mash_tpu.ops.pallas_pairwise``, ~10x the XLA formulation); on CPU
-    and other backends uses the XLA batched-sort formulation (interpret
-    mode would be orders of magnitude slower than XLA there).
+    (``mash_tpu.ops.pallas_pairwise``, ~10x the XLA formulation; the
+    single-plane variant when hashes are 32-bit); on CPU and other
+    backends uses the XLA batched-sort formulation (interpret mode
+    would be orders of magnitude slower than XLA there).
     """
     if jax.default_backend() == "tpu":
         from mash_tpu.ops.pallas_pairwise import pairwise_common_denom_pallas
 
-        return pairwise_common_denom_pallas(qry, nqry, ref, nref, cap=cap)
+        return pairwise_common_denom_pallas(
+            qry, nqry, ref, nref, cap=cap, use64=use64
+        )
     return pairwise_common_denom(qry, nqry, ref, nref, cap=cap)
 
 
@@ -197,6 +202,7 @@ def common_denom_tiled(
     cap: int,
     tile_q: int | None = None,
     tile_r: int | None = None,
+    use64: bool = True,
 ):
     """Host-tiled wrapper bounding device memory for big pair matrices.
 
@@ -221,7 +227,7 @@ def common_denom_tiled(
         from mash_tpu.parallel import mesh as pmesh
 
         tile_q = n_dev * ((tile_q + n_dev - 1) // n_dev)
-        fn = pmesh.cached_sharded_pairwise_fn(cap)
+        fn = pmesh.cached_sharded_pairwise_fn(cap, use64)
     else:
         fn = None
     nq, s = qry_h.shape
@@ -253,7 +259,9 @@ def common_denom_tiled(
                 if fn is not None:
                     c, d = fn(*args)
                 else:
-                    c, d = pairwise_common_denom_auto(*args, cap=cap)
+                    c, d = pairwise_common_denom_auto(
+                        *args, cap=cap, use64=use64
+                    )
             cq = min(tile_q, nq - qi)
             cr = min(tile_r, nr - ri)
             if cq > 0 and cr > 0:

@@ -132,6 +132,96 @@ def _kernel_body(qh_ref, ql_ref, nq_ref, rh_ref, rl_ref, nr_ref,
     jax.lax.while_loop(lambda j: j < np.int32(tr), body, np.int32(0))
 
 
+def _kernel_body32(q_ref, nq_ref, r_ref, nr_ref,
+                   common_ref, denom_ref, *, sp, tq, tr, cap, empty_key):
+    """Single-plane variant for 32-bit hashes (k <= 16 sketches).
+
+    Identical algorithm to ``_kernel_body`` with half the merge work:
+    the hash fits one biased-int32 lane, so each bitonic stage needs one
+    compare and no pair-plane selects.
+    """
+    m = 2 * sp
+    q = q_ref[:]
+    nq = nq_ref[:, 0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tq, m), 1)
+
+    def body(j):
+        r = r_ref[pl.ds(j, 1), :]
+        nr = nr_ref[pl.ds(j, 1), 0]
+        z = jnp.concatenate([q, jnp.broadcast_to(r, (tq, sp))], axis=1)
+        d = sp
+        while d >= 1:
+            nxt = _roll(z, m - d)
+            mn = jnp.minimum(z, nxt)
+            mx = jnp.maximum(z, nxt)
+            is_lo = (lane & d) == 0
+            z = jnp.where(is_lo, mn, _roll(mx, d))
+            d //= 2
+        eq = (
+            (z == _roll(z, m - 1))
+            & (z != empty_key)
+            & (lane < m - 1)
+        )
+        e = eq.astype(jnp.int32)
+        cum = e
+        d = 1
+        while d < m:
+            cum = cum + jnp.where(
+                lane >= d, _roll(cum, d), jnp.zeros_like(cum)
+            )
+            d *= 2
+        total = cum[:, m - 1]
+        denom = jnp.minimum(np.int32(cap), nq + nr - total)
+        cumex = cum - e
+        rank = lane + 1 - cumex
+        common = jnp.sum(
+            eq & (rank <= denom[:, None]), axis=1, dtype=jnp.int32
+        )
+        common_ref[pl.ds(j, 1), :] = common[None, :]
+        denom_ref[pl.ds(j, 1), :] = denom[None, :].astype(jnp.int32)
+        return j + np.int32(1)
+
+    jax.lax.while_loop(lambda j: j < np.int32(tr), body, np.int32(0))
+
+
+@functools.lru_cache(maxsize=None)
+def _build32(nq_t, nr_t, sp, tq, tr, cap, interpret):
+    kern = functools.partial(
+        _kernel_body32,
+        sp=sp,
+        tq=tq,
+        tr=tr,
+        cap=cap,
+        empty_key=0x7FFFFFFF,  # biased form of the 0xFFFFFFFF pad
+    )
+    grid = (nq_t // tq, nr_t // tr)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, sp), lambda i, j: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, 1), lambda i, j: (i, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, sp), lambda i, j: (j, _I0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, 1), lambda i, j: (j, _I0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tr, tq), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tr, tq), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nr_t, nq_t), jnp.int32),
+            jax.ShapeDtypeStruct((nr_t, nq_t), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _build(nq_t, nr_t, sp, tq, tr, cap, interpret):
     kern = functools.partial(
@@ -193,16 +283,20 @@ def _pad_rows(x, mult, fill):
     return jnp.concatenate([x, pad], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "tq", "tr"))
+@functools.partial(
+    jax.jit, static_argnames=("cap", "tq", "tr", "use64")
+)
 def pairwise_common_denom_pallas(
-    qry, nqry, ref, nref, *, cap: int, tq: int = 128, tr: int = 128
+    qry, nqry, ref, nref, *, cap: int, tq: int = 128, tr: int = 128,
+    use64: bool = True
 ):
     """Drop-in Pallas version of ``pairwise_common_denom``.
 
     Args/returns identical to ``distance.pairwise_common_denom``:
     uint64 ``[NQ, s]`` / ``[NR, s]`` sorted EMPTY-padded sketch matrices
     with int32 true sizes; returns int32 ``(common, denom)`` of shape
-    ``[NQ, NR]``.
+    ``[NQ, NR]``.  With ``use64=False`` (hashes < 2^32, i.e. k <= 16
+    nucleotide sketches) a single-plane kernel runs at ~2x.
     """
     nq, s = qry.shape
     nr = ref.shape[0]
@@ -217,17 +311,36 @@ def pairwise_common_denom_pallas(
         ref = jnp.concatenate(
             [ref, jnp.full((nr, sp - s), empty, dtype=jnp.uint64)], axis=1
         )
-    qh, ql = _split_biased(qry)
-    rh, rl = _split_biased(ref[:, ::-1])
     tq = min(tq, 8 * ((nq + 7) // 8))
     tr = min(tr, 8 * ((nr + 7) // 8))
+    nqa = _pad_rows(nqry.astype(jnp.int32)[:, None], tq, jnp.int32(0))
+    nra = _pad_rows(nref.astype(jnp.int32)[:, None], tr, jnp.int32(0))
+    interpret = jax.default_backend() != "tpu"
+    if not use64:
+        # 32-bit hashes: one biased-int32 plane carries the full value
+        # (the uint64 pad's low word is 0xFFFFFFFF, the 32-bit sentinel)
+        qk = jax.lax.bitcast_convert_type(
+            qry.astype(jnp.uint32), jnp.int32
+        ) ^ _SIGN
+        rk = jax.lax.bitcast_convert_type(
+            ref[:, ::-1].astype(jnp.uint32), jnp.int32
+        ) ^ _SIGN
+        qk = _pad_rows(qk, tq, jnp.int32(0x7FFFFFFF))
+        rk = _pad_rows(rk, tr, jnp.int32(0x7FFFFFFF))
+        call = _build32(
+            qk.shape[0], rk.shape[0], sp, tq, tr, cap, interpret
+        )
+        common_t, denom_t = call(qk, nqa, rk, nra)
+        return (
+            common_t.T[:nq, :nr],
+            denom_t.T[:nq, :nr],
+        )
+    qh, ql = _split_biased(qry)
+    rh, rl = _split_biased(ref[:, ::-1])
     qh = _pad_rows(qh, tq, jnp.int32(0x7FFFFFFF))
     ql = _pad_rows(ql, tq, jnp.int32(0x7FFFFFFF))
     rh = _pad_rows(rh, tr, jnp.int32(0x7FFFFFFF))
     rl = _pad_rows(rl, tr, jnp.int32(0x7FFFFFFF))
-    nqa = _pad_rows(nqry.astype(jnp.int32)[:, None], tq, jnp.int32(0))
-    nra = _pad_rows(nref.astype(jnp.int32)[:, None], tr, jnp.int32(0))
-    interpret = jax.default_backend() != "tpu"
     call = _build(qh.shape[0], rh.shape[0], sp, tq, tr, cap, interpret)
     common_t, denom_t = call(qh, ql, nqa, rh, rl, nra)
     return (

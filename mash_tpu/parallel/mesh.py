@@ -105,7 +105,7 @@ def sharded_sketch_chunks(mesh: Mesh, params, chunks, s: int):
     return fn(chunks)
 
 
-def make_sharded_pairwise_fn(mesh: Mesh, cap: int):
+def make_sharded_pairwise_fn(mesh: Mesh, cap: int, use64: bool = True):
     """Compile row-sharded all-pairs (common, denom) over the mesh.
 
     Each device runs the backend-dispatched kernel (Pallas on TPU) on
@@ -115,7 +115,7 @@ def make_sharded_pairwise_fn(mesh: Mesh, cap: int):
 
     def per_device(qry_h, qry_n, ref_h, ref_n):
         return pairwise_common_denom_auto(
-            qry_h, qry_n, ref_h, ref_n, cap=cap
+            qry_h, qry_n, ref_h, ref_n, cap=cap, use64=use64
         )
 
     fn = shard_map(
@@ -129,9 +129,9 @@ def make_sharded_pairwise_fn(mesh: Mesh, cap: int):
 
 
 @functools.lru_cache(maxsize=None)
-def cached_sharded_pairwise_fn(cap: int):
+def cached_sharded_pairwise_fn(cap: int, use64: bool = True):
     """Process-cached sharded pairwise fn over the default device mesh."""
-    return make_sharded_pairwise_fn(default_mesh(), cap)
+    return make_sharded_pairwise_fn(default_mesh(), cap, use64)
 
 
 def sharded_pairwise(mesh: Mesh, qry_h, qry_n, ref_h, ref_n, cap: int):

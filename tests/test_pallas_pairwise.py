@@ -45,6 +45,34 @@ def test_pallas_matches_xla(nq, nr, s, cap):
     np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
 
 
+@pytest.mark.parametrize("nq,nr,s,cap", [(5, 9, 40, 40), (12, 4, 100, 100)])
+def test_single_plane_32bit_variant(nq, nr, s, cap):
+    """use64=False runs the one-plane kernel; results must be identical."""
+    rng = np.random.default_rng(nq + nr)
+
+    def mk32(n):
+        H = np.full((n, s), EMPTY)
+        N = np.zeros(n, np.int32)
+        for i in range(n):
+            m = int(rng.integers(max(1, s // 2), s + 1))
+            vals = rng.choice(3 * s, size=m, replace=False).astype(
+                np.uint64
+            )
+            H[i, :m] = np.sort(
+                (vals * np.uint64(2654435761)) % np.uint64(2**32)
+            )
+            N[i] = m
+        return H, N
+
+    qh, qn = mk32(nq)
+    rh, rn = mk32(nr)
+    args = (jnp.asarray(qh), jnp.asarray(qn), jnp.asarray(rh), jnp.asarray(rn))
+    c0, d0 = pairwise_common_denom(*args, cap=cap)
+    c1, d1 = pairwise_common_denom_pallas(*args, cap=cap, use64=False)
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+
+
 def test_auto_dispatch_agrees():
     rng = np.random.default_rng(0)
     qh, qn = _mk(rng, 6, 50, 120)

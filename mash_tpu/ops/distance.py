@@ -213,6 +213,12 @@ def common_denom_tiled(
     ``[tile_q*tile_r, 2s]`` in HBM and needs small tiles (128).
     Returns numpy int32 [NQ, NR] arrays.
     """
+    if qry_h.shape[0] == 0 or ref_h.shape[0] == 0:
+        shape = (qry_h.shape[0], ref_h.shape[0])
+        return (
+            np.zeros(shape, dtype=np.int32),
+            np.zeros(shape, dtype=np.int32),
+        )
     if tile_q is None or tile_r is None:
         big = jax.default_backend() == "tpu"
         tile_q = tile_q or (4096 if big else 128)

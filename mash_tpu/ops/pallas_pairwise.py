@@ -102,7 +102,9 @@ def _kernel_body(qh_ref, ql_ref, nq_ref, rh_ref, rl_ref, nr_ref,
         eq = (
             (zh == nxt_h)
             & (zl == nxt_l)
-            & (zh != empty_hi)  # EMPTY pads (only pads have hi == biased max)
+            # exclude only the exact EMPTY sentinel (both planes at the
+            # biased max), matching the XLA kernel's `x != EMPTY`
+            & (~((zh == empty_hi) & (zl == empty_hi)))
             & (lane < m - 1)
         )
         e = eq.astype(jnp.int32)
@@ -230,9 +232,9 @@ def _build(nq_t, nr_t, sp, tq, tr, cap, interpret):
         tq=tq,
         tr=tr,
         cap=cap,
-        # EMPTY = 2^64-1: biased hi plane is 0x7FFFFFFF (int32 max); no
-        # real 64-bit hash shares it unless its top 33 bits are all 1s,
-        # which pad_sketches already treats as the sentinel anyway.
+        # EMPTY = 2^64-1: both biased planes are 0x7FFFFFFF (int32 max);
+        # the kernel masks a lane only when hi AND lo match the sentinel,
+        # so any real hash sharing just the top 32 bits still counts.
         empty_hi=0x7FFFFFFF,
     )
     grid = (nq_t // tq, nr_t // tr)

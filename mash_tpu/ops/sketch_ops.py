@@ -197,8 +197,10 @@ def sketch_chunk_batch(hashes, valid, *, s: int, use64: bool = True):
     #      occurrences <= X (the s-th kept distinct) in the window equals
     #      that in the whole chunk — no occurrence of any value <= X was
     #      missed, so both the kept hash set and its counts are complete.
-    # A subrow can also capture a duplicate index through the pad clamp;
-    # that inflates win_cnt and likewise forces the safe fallback.
+    # Pad-clamp duplicates cannot corrupt either count: cand_v ANDs in
+    # is_real above, so clamped picks are masked invalid and excluded
+    # from win_cnt; the certificate is sound because win_cnt <= full_cnt
+    # always, with equality iff the window saw every occurrence <= X.
     ndist = jnp.sum(Cf > 0, axis=1)
     x = Hf[:, s - 1][:, None]  # [B, 1]
     full_cnt = jnp.sum(valid & (hashes <= x), axis=1)

@@ -101,25 +101,30 @@ class SketchEngine:
         self._folds[length] = fold
         return fold
 
-    def _fold_batch_fn(self, rows: int):
-        """state, chunks[rows, chunk_len] -> state (one compiled shape).
+    def _fold_batch_fn(self, rows: int, packed: bool = False):
+        """state, chunks[rows, W] -> state (one compiled shape).
 
-        With several devices available (and no explicit device pin) the
-        chunk rows are sharded over a 1-D mesh and per-device states are
-        all_gather-merged — the fold is associative, so this is exact.
+        With ``packed`` the rows are 2-bit+mask ingest rows (see
+        ``ops.kmers.unpack_chunks``) reconstructed on device before
+        hashing.  With several devices available (and no explicit device
+        pin) the chunk rows are sharded over a 1-D mesh and per-device
+        states are all_gather-merged — the fold is associative, so this
+        is exact.
         """
-        key = ("batch", rows)
+        key = ("batch", rows, packed)
         if key in self._folds:
             return self._folds[key]
         p = self.params
         s = p.sketch_size
+        chunk_len = self.chunk_len
 
         n_dev = len(jax.devices())
         if self.device is None and n_dev > 1 and rows % n_dev == 0:
             from mash_tpu.parallel import mesh as pmesh
 
             sharded = pmesh.make_sharded_sketch_fn(
-                pmesh.default_mesh(), p, s
+                pmesh.default_mesh(), p, s,
+                chunk_len=chunk_len if packed else None,
             )
 
             def fold(state, chunks):
@@ -133,6 +138,10 @@ class SketchEngine:
 
         @jax.jit
         def fold(state, chunks):
+            if packed:
+                from mash_tpu.ops.kmers import unpack_chunks
+
+                chunks = unpack_chunks(chunks, chunk_len)
             sh, sc = batch_op(
                 chunks,
                 alphabet=self._alpha,
@@ -238,6 +247,23 @@ class SketchEngine:
                 if self.device is not None:
                     arr = jax.device_put(arr, self.device)
                 state = fold(state, arr)
+        return state
+
+    def fold_batches(self, state, batches, batch_rows: int,
+                     packed: bool = False):
+        """Fold ready ``[batch_rows, W]`` host batches (async).
+
+        The fast-ingest counterpart of :meth:`fold_stream`: batches come
+        pre-packed from :class:`mash_tpu.io.ingest.IngestPipeline`; each
+        is dispatched as one async upload + fold so transfers and device
+        compute overlap the background parsing.  Nothing blocks until
+        the caller materializes the final state.
+        """
+        fold = self._fold_batch_fn(batch_rows, packed=packed)
+        for arr in batches:
+            with stage("engine:fold_batch"):
+                dev = jax.device_put(arr, self.device)
+                state = fold(state, dev)
         return state
 
     def sketch_seqs(self, seqs: Iterable[bytes]):

@@ -87,6 +87,121 @@ def _sketch_concat(engine, records, file_name, is_stdin):
     return sketch_records_concat(engine, records, file_name, is_stdin)
 
 
+# Inputs at least this large take the overlapped native-ingest pipeline;
+# smaller ones stay on the bucketed record path (cheaper compiles).
+FAST_INGEST_MIN_BYTES = 4 << 20
+
+
+def _fast_batch_rows() -> int:
+    import jax
+
+    n_dev = len(jax.devices())
+    rows = 32 if jax.default_backend() == "tpu" else 8
+    if n_dev > 1 and rows % n_dev:
+        rows = n_dev * ((rows + n_dev - 1) // n_dev)
+    return rows
+
+
+def _fast_ingest_ok(params: SketchParams, paths) -> bool:
+    """Fast path preconditions: order-free fold + native parser + real files."""
+    if needs_exact_streaming(params) or params.windowed:
+        return False
+    if any(p == "-" for p in paths):
+        return False
+    import os
+
+    from mash_tpu.io.ingest import ingest_available
+
+    try:
+        total = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        return False
+    return total >= FAST_INGEST_MIN_BYTES and ingest_available()
+
+
+def _sketch_paths_fast(engine: SketchEngine, paths: List[str]):
+    """Sketch one or more files into one state via the overlapped pipeline.
+
+    For the plain nucleotide alphabet the host packs rows to 2-bit codes
+    + validity bitmask (2.67x smaller transfers); other alphabets ship
+    raw bytes.  Returns (state, metas).
+    """
+    from mash_tpu.io.ingest import IngestPipeline
+
+    p = engine.params
+    pack = 0
+    if p.alphabet_string() == "ACGT":
+        pack = 2 if p.preserve_case else 1
+    rows = _fast_batch_rows()
+    pipe = IngestPipeline(
+        paths, p.kmer_size, engine.chunk_len, rows, pack_mode=pack
+    )
+    state = engine.fold_batches(
+        engine.empty_state(), pipe.batches(), rows, packed=bool(pack)
+    )
+    return state, pipe.metas
+
+
+def _sketch_file_fast(engine: SketchEngine, path: str):
+    """Fast-path equivalent of ``sketch_records_concat`` for one file."""
+    state, metas = _sketch_paths_fast(engine, [path])
+    meta = metas[0]
+    p = engine.params
+    name, comment = meta.name_comment(is_stdin=False)
+    if meta.count == 0:
+        name, comment = path, ""
+    total_len = meta.total_len
+    if p.reads:
+        if p.genome_size != 0:
+            total_len = p.genome_size
+        else:
+            total_len = int(engine.estimate_set_size(state))
+    if meta.count > 1:
+        comment = "[%d seqs] %s [...]" % (meta.count, comment)
+    ref = engine.state_to_ref(state, name, comment, total_len)
+    return ref, state, meta.count, meta.skipped
+
+
+def _sketch_reads_fast(engine: SketchEngine, files: List[str],
+                       first_name: str):
+    """Pooled reads-mode sketch over all files via the fast pipeline.
+
+    The bottom-s fold is order-independent, so files stream sequentially
+    instead of the reference's record round-robin
+    (``Sketch.cpp:1200-1270``); the first-record naming is reconstructed
+    in round-robin order from per-file metadata (record ``r`` of file
+    ``f`` is visited at round-robin position ``(r, f)``).
+    """
+    p = engine.params
+    state, metas = _sketch_paths_fast(engine, files)
+    count = sum(m.count for m in metas)
+    skipped = any(m.skipped for m in metas)
+    best = min(
+        (
+            (m.first_ordinal, i)
+            for i, m in enumerate(metas)
+            if m.first_ordinal >= 0
+        ),
+        default=None,
+    )
+    is_stdin = first_name == ""
+    if best is None:
+        name, comment = first_name, ""
+    else:
+        meta = metas[best[1]]
+        name, comment = meta.name_comment(is_stdin=is_stdin)
+        if not is_stdin:
+            name = first_name
+    if p.genome_size != 0:
+        total_len = p.genome_size
+    else:
+        total_len = int(engine.estimate_set_size(state))
+    if count > 1:
+        comment = "[%d seqs] %s [...]" % (count, comment)
+    ref = engine.state_to_ref(state, name, comment, total_len)
+    return ref, state, count, skipped
+
+
 def init_from_files(
     files: List[str],
     params: SketchParams,
@@ -133,10 +248,15 @@ def init_from_files(
                 else:
                     err.write("Sketching %s...\n" % path)
             if params.concatenated:
-                records = read_fastx(path)
-                ref, _state, count, skipped = _sketch_concat(
-                    engine, records, path, is_stdin=(path == "-")
-                )
+                if _fast_ingest_ok(params, [path]):
+                    ref, _state, count, skipped = _sketch_file_fast(
+                        engine, path
+                    )
+                else:
+                    records = read_fastx(path)
+                    ref, _state, count, skipped = _sketch_concat(
+                        engine, records, path, is_stdin=(path == "-")
+                    )
                 if ref.length == 0:
                     if skipped:
                         err.write(
@@ -225,11 +345,16 @@ def init_from_reads(
     if engine is None:
         engine = SketchEngine(params)
     sketch_set = SketchSet(params)
-    records = read_fastx_multi(files, round_robin=True)
     first_name = files[0] if files and files[0] != "-" else ""
-    ref, state, count, skipped = _sketch_concat(
-        engine, records, first_name, is_stdin=(first_name == "")
-    )
+    if _fast_ingest_ok(params, files):
+        ref, state, count, skipped = _sketch_reads_fast(
+            engine, files, first_name
+        )
+    else:
+        records = read_fastx_multi(files, round_robin=True)
+        ref, state, count, skipped = _sketch_concat(
+            engine, records, first_name, is_stdin=(first_name == "")
+        )
     if ref.length == 0:
         if skipped:
             sys.stderr.write(

@@ -194,6 +194,131 @@ def pairwise_common_denom_auto(
     return pairwise_common_denom(qry, nqry, ref, nref, cap=cap)
 
 
+@functools.lru_cache(maxsize=None)
+def _stripe_tile_fn(cap: int, use64: bool, row_block: int, tile_r: int,
+                    n_dev: int):
+    """Jitted (Hq, Nq, Hr, Nr, qi, ri) -> packed uint32 tile.
+
+    Row/col starts are traced (``dynamic_slice``) so every stripe tile
+    reuses ONE compiled program regardless of position; outputs pack
+    ``common | denom << 16`` to halve the device->host readback (valid
+    because ``common <= denom <= cap < 2^16``).
+    """
+    import jax.lax as lax
+
+    if n_dev > 1:
+        from mash_tpu.parallel import mesh as pmesh
+
+        inner = pmesh.cached_sharded_pairwise_fn(cap, use64)
+    else:
+        inner = functools.partial(
+            pairwise_common_denom_auto, cap=cap, use64=use64
+        )
+
+    @jax.jit
+    def tile(Hq, Nq, Hr, Nr, qi, ri):
+        q = lax.dynamic_slice_in_dim(Hq, qi, row_block)
+        nq = lax.dynamic_slice_in_dim(Nq, qi, row_block)
+        r = lax.dynamic_slice_in_dim(Hr, ri, tile_r)
+        nr = lax.dynamic_slice_in_dim(Nr, ri, tile_r)
+        c, d = inner(q, nq, r, nr)
+        return c.astype(jnp.uint32) | (
+            d.astype(jnp.uint32) << jnp.uint32(16)
+        )
+
+    return tile
+
+
+def stream_pair_stripes(
+    qry_h,
+    qry_n,
+    ref_h,
+    ref_n,
+    cap: int,
+    use64: bool = True,
+    row_block: int | None = None,
+    tile_r: int | None = None,
+    triangle: bool = False,
+):
+    """Stream packed (common | denom<<16) stripes with bounded memory.
+
+    Yields ``(i0, stripe)`` where ``stripe`` is uint32
+    ``[rows, cols]`` for query rows ``[i0, i0+rows)``; for
+    ``triangle=True`` (ref is qry) each stripe covers columns
+    ``[0, i0+rows-1)`` — just what the lower triangle needs — otherwise
+    all reference columns.  One stripe of device compute is kept in
+    flight while the previous one is materialized/formatted, the
+    TPU-native analog of the reference's streamed pair blocks
+    (``src/mash/CommandDistance.cpp:196-236``).  Requires
+    ``cap < 65536``.
+    """
+    assert cap < 65536
+    big = jax.default_backend() == "tpu"
+    if row_block is None:
+        row_block = 512 if big else 32
+    if tile_r is None:
+        tile_r = 4096 if big else 128
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        row_block = n_dev * ((row_block + n_dev - 1) // n_dev)
+
+    nq = qry_h.shape[0]
+    nr = ref_h.shape[0]
+    empty = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def padded(arr, mult, fill):
+        n = arr.shape[0]
+        m = ((n + mult - 1) // mult) * mult
+        if m == n:
+            return arr
+        pad = np.full((m - n,) + arr.shape[1:], fill, dtype=arr.dtype)
+        return np.concatenate([arr, pad], axis=0)
+
+    Hq = jnp.asarray(padded(qry_h, row_block, empty))
+    Nq = jnp.asarray(padded(qry_n.astype(np.int32), row_block, 0))
+    if triangle:
+        Hr = jnp.asarray(padded(qry_h, tile_r, empty))
+        Nr = jnp.asarray(padded(qry_n.astype(np.int32), tile_r, 0))
+    else:
+        Hr = jnp.asarray(padded(ref_h, tile_r, empty))
+        Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
+
+    tile_fn = _stripe_tile_fn(cap, use64, row_block, tile_r, n_dev)
+
+    def dispatch(i0):
+        rows = min(row_block, nq - i0)
+        cols = (i0 + rows - 1) if triangle else nr
+        tiles = []
+        for ri in range(0, cols, tile_r):
+            with stage("distance:stripe_tile"):
+                tiles.append(
+                    tile_fn(
+                        Hq, Nq, Hr, Nr, np.int32(i0), np.int32(ri)
+                    )
+                )
+        return i0, rows, cols, tiles
+
+    def materialize(item):
+        i0, rows, cols, tiles = item
+        if not tiles:
+            return i0, np.zeros((rows, 0), dtype=np.uint32)
+        stripe = np.concatenate(
+            [np.asarray(t) for t in tiles], axis=1
+        )
+        return i0, stripe[:rows, :cols]
+
+    pend = None
+    start = 1 if triangle else 0
+    for i0 in range(start if triangle and row_block == 1 else 0, nq,
+                    row_block):
+        item = dispatch(i0)
+        if pend is not None:
+            yield materialize(pend)
+        pend = item
+    if pend is not None:
+        yield materialize(pend)
+
+
 def common_denom_tiled(
     qry_h,
     qry_n,

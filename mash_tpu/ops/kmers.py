@@ -75,6 +75,32 @@ def alphabet_bytes(alphabet: tuple) -> tuple:
     return tuple(i for i in range(256) if alphabet[i])
 
 
+def unpack_chunks(packed, chunk_len: int):
+    """Reconstruct ``[B, chunk_len]`` byte chunks from packed ingest rows.
+
+    The native packer (``native/mash_native.cpp`` ``Ingest::pack_row``)
+    ships 2-bit ACGT codes (``chunk_len/4`` bytes, little-endian within
+    each byte) followed by a per-position validity bitmask
+    (``chunk_len/8`` bytes).  Valid positions reconstruct their exact
+    (case-folded) base byte; invalid positions become 0x00, which is
+    never in an alphabet, so downstream window masking is unchanged.
+    This is the device half of the 2.67x host->device transfer
+    compression.
+    """
+    B = packed.shape[0]
+    L = chunk_len
+    p2 = packed[:, : L // 4]
+    pm = packed[:, L // 4 :]
+    sh4 = (jnp.arange(4, dtype=jnp.uint8) * 2)[None, None, :]
+    codes = ((p2[:, :, None] >> sh4) & jnp.uint8(3)).reshape(B, L)
+    sh8 = jnp.arange(8, dtype=jnp.uint8)[None, None, :]
+    valid = ((pm[:, :, None] >> sh8) & jnp.uint8(1)).reshape(B, L)
+    c = codes.astype(jnp.int32)
+    # inverse of (byte >> 1) & 3 over {A,C,G,T}: 0->A 1->C 2->T 3->G
+    byte = 65 + 2 * c + 15 * (c == 2).astype(jnp.int32)
+    return jnp.where(valid == 1, byte.astype(jnp.uint8), jnp.uint8(0))
+
+
 def uppercase(seq, preserve_case: bool):
     """Uppercase pass replicating ``Sketch.cpp:524-530``.
 

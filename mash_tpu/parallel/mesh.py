@@ -44,15 +44,22 @@ def default_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
-def make_sharded_sketch_fn(mesh: Mesh, params, s: int):
-    """Compile chunks[B, L] (sharded on B) -> replicated bottom-s state."""
-    from mash_tpu.ops.kmers import alphabet_bytes
+def make_sharded_sketch_fn(mesh: Mesh, params, s: int,
+                           chunk_len: Optional[int] = None):
+    """Compile chunks[B, W] (sharded on B) -> replicated bottom-s state.
+
+    With ``chunk_len`` set, rows are packed 2-bit+mask ingest rows and
+    are reconstructed per device (local rows, no extra communication).
+    """
+    from mash_tpu.ops.kmers import alphabet_bytes, unpack_chunks
 
     alpha = alphabet_bytes(params.alphabet)
 
     from mash_tpu.ops.pallas_sketch import sketch_chunks_auto
 
     def per_device(chunks_local):
+        if chunk_len is not None:
+            chunks_local = unpack_chunks(chunks_local, chunk_len)
         sh_all, sc_all = sketch_chunks_auto(
             chunks_local,
             alphabet=alpha,

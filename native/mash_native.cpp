@@ -18,7 +18,9 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <cstdio>
 #include <cmath>
+#include <string>
 #include <queue>
 #include <unordered_map>
 #include <vector>
@@ -294,6 +296,517 @@ int64_t mash_fastx_parse(const uint8_t* data, int64_t n,
         nrec++;
     }
     return nrec;
+}
+
+// ---------------------------------------------------------------------------
+// Fast "%.6g" Mash-distance text formatting for streamed triangle/dist
+// tiles.  A 100k-genome PHYLIP matrix is ~5e9 cells; per-cell printf on
+// the Python side would dominate wall-clock.  Cells arrive packed as
+// (common | denom << 16) uint32; the distance formula replicates the
+// reference exactly (src/mash/CommandDistance.cpp:387-407).  Because
+// denom is almost always the sketch-size cap, distinct (common, denom)
+// pairs are few — formatted strings are memoized (direct table for
+// cap <= 1024, hash map above).
+// ---------------------------------------------------------------------------
+
+struct DistFormatter {
+    int64_t k;
+    int64_t cap;
+    std::vector<uint8_t> table_len;   // direct memo (cap <= 1024)
+    std::vector<char> table_str;      // 16 bytes per entry
+    std::unordered_map<uint32_t, std::string> memo;  // fallback
+    bool direct;
+
+    DistFormatter(int64_t k_, int64_t cap_) : k(k_), cap(cap_) {
+        direct = cap <= 1024;
+        if (direct) {
+            int64_t n = (cap + 1) * (cap + 1);
+            table_len.assign(n, 0xFF);  // 0xFF = not yet formatted
+            table_str.resize(n * 16);
+        }
+    }
+
+    inline double dist(uint32_t c, uint32_t d) const {
+        if (d == 0) return 1.0;
+        if (c == d) return 0.0;
+        if (c == 0) return 1.0;
+        double j = (double)c / (double)d;
+        double x = -log(2.0 * j / (1.0 + j)) / (double)k;
+        return x > 1.0 ? 1.0 : x;
+    }
+
+    // formatted cell -> (ptr, len); storage owned by the formatter
+    inline const char* cell(uint32_t packed, int* len) {
+        uint32_t c = packed & 0xFFFFu, d = packed >> 16;
+        if (direct && c <= (uint32_t)cap && d <= (uint32_t)cap) {
+            int64_t idx = (int64_t)d * (cap + 1) + c;
+            if (table_len[idx] == 0xFF) {
+                char buf[32];
+                int n = snprintf(buf, sizeof buf, "%.6g", dist(c, d));
+                if (n > 15) n = 15;
+                memcpy(&table_str[idx * 16], buf, n);
+                table_len[idx] = (uint8_t)n;
+            }
+            *len = table_len[idx];
+            return &table_str[idx * 16];
+        }
+        auto it = memo.find(packed);
+        if (it == memo.end()) {
+            char buf[32];
+            snprintf(buf, sizeof buf, "%.6g", dist(c, d));
+            it = memo.emplace(packed, buf).first;
+        }
+        *len = (int)it->second.size();
+        return it->second.data();
+    }
+};
+
+void* mash_fmt_create(int64_t k, int64_t cap) {
+    return new DistFormatter(k, cap);
+}
+void mash_fmt_destroy(void* f) { delete (DistFormatter*)f; }
+
+// Emit "\t%.6g" per packed cell (PHYLIP row body).  Returns bytes
+// written, or -1 if out_cap is too small (caller sizes 16*n + 16).
+int64_t mash_fmt_phylip_cells(void* fv, const uint32_t* packed,
+                              int64_t n, char* out, int64_t out_cap) {
+    DistFormatter& f = *(DistFormatter*)fv;
+    int64_t w = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int len;
+        const char* s = f.cell(packed[i], &len);
+        if (w + len + 1 > out_cap) return -1;
+        out[w++] = '\t';
+        memcpy(out + w, s, len);
+        w += len;
+    }
+    return w;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming FASTA/FASTQ ingest: incremental parse + chunk-row packing.
+//
+// The TPU sketch pipeline consumes fixed-shape [chunk_len] uint8 rows in
+// which records are separated by 0x00 bytes and consecutive rows overlap
+// by k-1 bytes (so no k-mer window is lost at a row boundary) — the same
+// layout mash_tpu.core.engine.chunk_stream produces.  This ingest object
+// builds those rows directly from raw file blocks in one pass, carrying
+// parser state across arbitrary block boundaries, so the Python side
+// never touches per-record data.  It is the TPU-native equivalent of the
+// reference's reader+worker streaming (src/mash/Sketch.cpp:1147-1336,
+// src/mash/CommandScreen.cpp:155-270 round-robin chunk packing).
+//
+// Records shorter than k are packed too (they contribute no valid k-mer
+// window: every window inside them is shorter than k and separators
+// flank them) but excluded from the record metadata, matching the
+// reference's skip semantics (Sketch.cpp:1206-1210).
+// ---------------------------------------------------------------------------
+
+struct Ingest {
+    int64_t chunk_len;
+    int64_t k;
+    // pack_mode: 0 = raw byte rows; 1/2 = ACGT 2-bit codes + validity
+    // bitmask (1 folds case on host, 2 preserves case).  Packed rows are
+    // chunk_len/4 code bytes then chunk_len/8 mask bytes — 0.375
+    // bytes/base, a 2.67x host->device transfer reduction.  Exact byte
+    // reconstruction of *valid* characters is preserved; invalid
+    // positions only need to stay invalid (they never reach the hash),
+    // so the mask alone carries them.
+    int64_t pack_mode;
+    int64_t row_bytes;
+
+    enum State { MARKER, HEADER, FASTA_SEQ, FASTQ_SEQ, FASTQ_PLUS,
+                 FASTQ_QUAL };
+    State st = MARKER;
+    bool line_start = true;
+    bool pending_cr = false;     // saw '\r'; emit unless next byte is '\n'
+    bool emitted_any = false;    // any record content packed yet
+
+    // current record
+    int64_t rec_len = 0;         // sequence bytes so far
+    int64_t qual_count = 0;
+    int64_t rec_ordinal = -1;    // index of current record in this stream
+    std::vector<uint8_t> header; // captured only until first valid record
+
+    // chunk packing
+    std::vector<uint8_t> chunk;  // fill buffer, capacity chunk_len
+    // per-feed output (set by feed/finish): rows fill rows_out first,
+    // then overflow into the spill area (copied by the caller into the
+    // next batch), so a feed never has to stop mid-parse
+    uint8_t* rows_out = nullptr;
+    int64_t rows_cap = 0, rows_n = 0;
+    uint8_t* spill_out = nullptr;
+    int64_t spill_cap = 0, spill_n = 0;
+    bool overflow = false;
+
+    // metadata
+    int64_t count = 0;           // records with len >= k
+    int64_t total_len = 0;       // sum of their lengths
+    bool skipped = false;        // any record with len < k seen
+    int64_t first_valid_ordinal = -1;
+    std::vector<uint8_t> first_header;
+
+    Ingest(int64_t cl, int64_t k_, int64_t pm)
+        : chunk_len(cl), k(k_), pack_mode(pm),
+          row_bytes(pm ? cl / 4 + cl / 8 : cl) {
+        chunk.reserve(cl);
+    }
+
+    // Exact SWAR zero-byte finder (Hacker's Delight): 0x80 set in each
+    // byte position where x's byte is 0; no cross-byte borrow artifacts.
+    static inline uint64_t zbytes(uint64_t x) {
+        uint64_t y = (x & 0x7F7F7F7F7F7F7F7Full) + 0x7F7F7F7F7F7F7F7Full;
+        return ~(y | x | 0x7F7F7F7F7F7F7F7Full);
+    }
+    static inline uint64_t eqb(uint64_t w, uint8_t ch) {
+        return zbytes(w ^ (0x0101010101010101ull * ch));
+    }
+
+    inline void pack_row(const uint8_t* src, uint8_t* dst) const {
+        // 8 input bytes -> 2 code bytes + 1 mask byte, u64 at a time
+        const bool fold = pack_mode == 1;
+        uint8_t* pk = dst;
+        uint8_t* mk = dst + chunk_len / 4;
+        for (int64_t g = 0; g < chunk_len / 8; g++) {
+            uint64_t w;
+            memcpy(&w, src + g * 8, 8);
+            uint64_t v = eqb(w, 'A') | eqb(w, 'C') | eqb(w, 'G') |
+                         eqb(w, 'T');
+            uint64_t wf = w;
+            if (fold) {
+                v |= eqb(w, 'a') | eqb(w, 'c') | eqb(w, 'g') |
+                     eqb(w, 't');
+                wf &= ~0x2020202020202020ull;  // fold case; non-letters
+                                               // get mangled but are
+                                               // invalid anyway
+            }
+            // (c>>1)&3 maps A->0 C->1 T->2 G->3 (classic 2-bit code)
+            uint64_t x = (wf >> 1) & 0x0303030303030303ull;
+            pk[g * 2] = (uint8_t)((x | x >> 6 | x >> 12 | x >> 18) &
+                                  0xFF);
+            pk[g * 2 + 1] =
+                (uint8_t)((x >> 32 | x >> 38 | x >> 44 | x >> 50) &
+                          0xFF);
+            mk[g] = (uint8_t)((v >> 7 & 1) | (v >> 14 & 2) |
+                              (v >> 21 & 4) | (v >> 28 & 8) |
+                              (v >> 35 & 16) | (v >> 42 & 32) |
+                              (v >> 49 & 64) | (v >> 56 & 128));
+        }
+    }
+
+    inline void write_row(uint8_t* dst) const {
+        if (pack_mode) pack_row(chunk.data(), dst);
+        else memcpy(dst, chunk.data(), chunk_len);
+    }
+
+    inline void flush_row() {
+        if (rows_n < rows_cap) {
+            write_row(rows_out + rows_n * row_bytes);
+            rows_n++;
+        } else if (spill_n < spill_cap) {
+            write_row(spill_out + spill_n * row_bytes);
+            spill_n++;
+        } else {
+            overflow = true;
+            return;
+        }
+        // keep the k-1 byte overlap as the next row's prefix
+        uint8_t tail[64];
+        memcpy(tail, chunk.data() + (chunk_len - (k - 1)), k - 1);
+        chunk.assign(tail, tail + (k - 1));
+    }
+
+    inline void emit_byte(uint8_t c) {
+        chunk.push_back(c);
+        if ((int64_t)chunk.size() == chunk_len) flush_row();
+    }
+
+    inline void emit_span(const uint8_t* p, int64_t n) {
+        while (n > 0 && !overflow) {
+            int64_t space = chunk_len - (int64_t)chunk.size();
+            int64_t m = n < space ? n : space;
+            chunk.insert(chunk.end(), p, p + m);
+            p += m; n -= m;
+            if ((int64_t)chunk.size() == chunk_len) flush_row();
+        }
+    }
+
+    inline void end_record() {
+        if (rec_len >= k) {
+            if (first_valid_ordinal < 0) {
+                first_valid_ordinal = rec_ordinal;
+                first_header = header;
+            }
+            count++;
+            total_len += rec_len;
+        } else {
+            skipped = true;
+        }
+        header.clear();
+    }
+
+    inline void begin_record(bool fastq) {
+        rec_ordinal++;
+        rec_len = 0;
+        qual_count = 0;
+        header.clear();
+        st = HEADER;
+        fastq_rec = fastq;
+    }
+    bool fastq_rec = false;
+
+    // Emit sequence content bytes honoring CR stripping: '\r' is dropped
+    // iff immediately followed by '\n' (kseq line-trim semantics); '\n'
+    // is always dropped (line concatenation).  Returns bytes consumed.
+    // Stops at a record-terminating marker when `stop_markers` is set
+    // (FASTA: '>'/'@' at line start; FASTQ: '+' at line start).
+    inline int64_t consume_seq(const uint8_t* data, int64_t n,
+                               bool fasta) {
+        int64_t i = 0;
+        while (i < n) {
+            if (line_start) {
+                uint8_t c = data[i];
+                if (fasta ? (c == '>' || c == '@') : (c == '+')) {
+                    return i;  // caller switches state; byte unconsumed
+                }
+            }
+            // scan to next newline within the block
+            const uint8_t* nl = (const uint8_t*)memchr(
+                data + i, '\n', n - i);
+            int64_t le = nl ? (nl - data) : n;
+            int64_t ls = i;
+            if (pending_cr) {
+                // previous block ended in '\r': drop it iff this block
+                // starts with the matching '\n' (le == ls), else it was
+                // a lone CR that belongs to the sequence
+                if (le != ls) {
+                    emit_byte('\r');
+                    rec_len++;
+                }
+                pending_cr = false;
+            }
+            int64_t span = le - ls;
+            bool had_nl = nl != nullptr;
+            if (had_nl && span > 0 && data[le - 1] == '\r') span--;
+            else if (!had_nl && span > 0 && data[n - 1] == '\r') {
+                span--;
+                pending_cr = true;
+            }
+            // interior lone '\r' (not before '\n'): keep byte-exact by
+            // splitting the span at each '\r'
+            int64_t s = ls;
+            while (span > 0) {
+                const uint8_t* cr = (const uint8_t*)memchr(
+                    data + s, '\r', span);
+                if (!cr) break;
+                int64_t pre = cr - (data + s);
+                emit_span(data + s, pre);
+                emit_byte('\r');
+                rec_len += pre + 1;
+                s += pre + 1;
+                span -= pre + 1;
+            }
+            emit_span(data + s, span);
+            rec_len += span;
+            if (had_nl) {
+                i = le + 1;
+                line_start = true;
+            } else {
+                i = n;
+                line_start = false;
+            }
+        }
+        return n;
+    }
+};
+
+void* mash_ingest_create(int64_t chunk_len, int64_t k,
+                         int64_t pack_mode) {
+    if (pack_mode && chunk_len % 8) return nullptr;
+    return new Ingest(chunk_len, k, pack_mode);
+}
+
+void mash_ingest_destroy(void* p) { delete (Ingest*)p; }
+
+// Feed one block.  Completed rows go to rows_out (the caller's batch
+// buffer) until rows_cap, then to spill_out; rows_cap + spill_cap must
+// cover (n + chunk_len) / (chunk_len - k + 1) + 2 rows.  Returns rows
+// written to rows_out (query spill via mash_ingest_spill_n), or -1 on
+// combined overflow.
+int64_t mash_ingest_feed(void* pv, const uint8_t* data, int64_t n,
+                         uint8_t* rows_out, int64_t rows_cap,
+                         uint8_t* spill_out, int64_t spill_cap) {
+    Ingest& g = *(Ingest*)pv;
+    g.rows_out = rows_out;
+    g.rows_cap = rows_cap;
+    g.rows_n = 0;
+    g.spill_out = spill_out;
+    g.spill_cap = spill_cap;
+    g.spill_n = 0;
+    g.overflow = false;
+
+    int64_t i = 0;
+    while (i < n && !g.overflow) {
+        switch (g.st) {
+        case Ingest::MARKER: {
+            // scan for '>' or '@' at a line start
+            while (i < n) {
+                uint8_t c = data[i];
+                if (g.line_start && (c == '>' || c == '@')) break;
+                g.line_start = (c == '\n');
+                i++;
+            }
+            if (i < n) {
+                // previous records were already closed by their own end
+                // states (FASTA_SEQ marker hit / FASTQ_QUAL completion)
+                g.begin_record(data[i] == '@');
+                i++;  // past marker
+                g.line_start = false;
+            }
+            break;
+        }
+        case Ingest::HEADER: {
+            const uint8_t* nl =
+                (const uint8_t*)memchr(data + i, '\n', n - i);
+            int64_t he = nl ? (nl - data) : n;
+            if (g.first_valid_ordinal < 0 &&
+                g.header.size() < (size_t)8192) {
+                int64_t take = he - i;
+                if ((int64_t)g.header.size() + take > 8192)
+                    take = 8192 - g.header.size();
+                g.header.insert(g.header.end(), data + i,
+                                data + i + take);
+            }
+            if (nl) {
+                if (!g.header.empty() && g.header.back() == '\r')
+                    g.header.pop_back();
+                i = he + 1;
+                g.line_start = true;
+                // separator before this record's content (not for the
+                // very first packed record)
+                if (g.emitted_any) g.emit_byte(0);
+                g.emitted_any = true;
+                g.st = g.fastq_rec ? Ingest::FASTQ_SEQ
+                                   : Ingest::FASTA_SEQ;
+            } else {
+                i = n;
+            }
+            break;
+        }
+        case Ingest::FASTA_SEQ: {
+            int64_t used = g.consume_seq(data + i, n - i, true);
+            i += used;
+            if (i < n) {  // hit a marker: record done
+                g.end_record();
+                g.st = Ingest::MARKER;
+            }
+            break;
+        }
+        case Ingest::FASTQ_SEQ: {
+            int64_t used = g.consume_seq(data + i, n - i, false);
+            i += used;
+            if (i < n) {  // '+' line
+                g.st = Ingest::FASTQ_PLUS;
+            }
+            break;
+        }
+        case Ingest::FASTQ_PLUS: {
+            const uint8_t* nl =
+                (const uint8_t*)memchr(data + i, '\n', n - i);
+            if (nl) {
+                i = (nl - data) + 1;
+                g.line_start = true;
+                g.st = Ingest::FASTQ_QUAL;
+            } else {
+                i = n;
+            }
+            break;
+        }
+        case Ingest::FASTQ_QUAL: {
+            // count quality chars (newlines and CRs excluded) until
+            // they cover the sequence length
+            while (i < n && g.qual_count < g.rec_len) {
+                const uint8_t* nl =
+                    (const uint8_t*)memchr(data + i, '\n', n - i);
+                int64_t le = nl ? (nl - data) : n;
+                int64_t span = le - i;
+                if (span > 0 && data[le - 1] == '\r') span--;
+                int64_t need = g.rec_len - g.qual_count;
+                if (span >= need) {
+                    g.qual_count = g.rec_len;
+                    i += need;  // stop mid-line if quality is longer
+                    break;
+                }
+                g.qual_count += span;
+                i = nl ? le + 1 : n;
+                if (nl) g.line_start = true;
+            }
+            if (g.qual_count >= g.rec_len) {
+                g.end_record();
+                g.st = Ingest::MARKER;
+                // remainder of the quality line is skipped by MARKER
+                // state (it only reacts to line-start markers)
+                g.line_start = false;
+                if (i < n && data[i] == '\n') { i++; g.line_start = true; }
+            }
+            break;
+        }
+        }
+    }
+    if (g.overflow) return -1;
+    return g.rows_n;
+}
+
+// End of stream: close any open record and flush the final partial row
+// (zero-padded).  Returns rows written (0 or 1), or -1 on overflow.
+int64_t mash_ingest_finish(void* pv, uint8_t* rows_out,
+                           int64_t rows_cap) {
+    Ingest& g = *(Ingest*)pv;
+    g.rows_out = rows_out;
+    g.rows_cap = rows_cap;
+    g.rows_n = 0;
+    g.spill_out = nullptr;
+    g.spill_cap = 0;
+    g.spill_n = 0;
+    g.overflow = false;
+    if (g.pending_cr) {
+        g.emit_byte('\r');
+        g.rec_len++;
+        g.pending_cr = false;
+    }
+    if (g.st != Ingest::MARKER && g.rec_ordinal >= 0) {
+        g.end_record();
+        g.st = Ingest::MARKER;
+    }
+    if ((int64_t)g.chunk.size() >= g.k) {
+        g.chunk.resize(g.chunk_len, 0);
+        g.flush_row();
+        g.chunk.clear();
+    }
+    if (g.overflow) return -1;
+    return g.rows_n;
+}
+
+int64_t mash_ingest_spill_n(void* pv) {
+    return ((Ingest*)pv)->spill_n;
+}
+
+int64_t mash_ingest_count(void* pv) { return ((Ingest*)pv)->count; }
+int64_t mash_ingest_total_len(void* pv) {
+    return ((Ingest*)pv)->total_len;
+}
+int mash_ingest_skipped(void* pv) {
+    return ((Ingest*)pv)->skipped ? 1 : 0;
+}
+int64_t mash_ingest_first_ordinal(void* pv) {
+    return ((Ingest*)pv)->first_valid_ordinal;
+}
+int64_t mash_ingest_first_header(void* pv, uint8_t* out, int64_t cap) {
+    Ingest& g = *(Ingest*)pv;
+    int64_t m = (int64_t)g.first_header.size();
+    if (m > cap) m = cap;
+    memcpy(out, g.first_header.data(), m);
+    return (int64_t)g.first_header.size();
 }
 
 // ---------------------------------------------------------------------------

@@ -1,0 +1,272 @@
+"""Differential tests for the native streaming ingest pipeline.
+
+The C++ parser/packer (``mash_ingest_*``) must produce chunk rows whose
+k-mer hash multiset matches the pure-Python record path
+(``io.fastx.parse_fastx`` + ``core.engine.chunk_stream``), plus matching
+record metadata — across FASTA/FASTQ, CRLF, multi-line records, short
+records, gzip, and arbitrary feed-block boundaries.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import random
+
+import numpy as np
+import pytest
+
+from mash_tpu.native import load_library, NativeIngest
+from mash_tpu.io.fastx import parse_fastx
+
+pytestmark = pytest.mark.skipif(
+    load_library() is None, reason="native library unavailable"
+)
+
+
+def _random_fasta(rng, n_rec, maxlen=300, crlf=False, multiline=True):
+    out = []
+    for i in range(n_rec):
+        name = "seq%d" % i
+        comment = (
+            " some comment %d" % i if rng.random() < 0.5 else ""
+        )
+        ln = rng.randrange(0, maxlen)
+        seq = "".join(rng.choice("ACGTNacgt") for _ in range(ln))
+        eol = "\r\n" if crlf else "\n"
+        out.append(">" + name + comment + eol)
+        if multiline and ln > 0:
+            w = rng.randrange(10, 80)
+            for j in range(0, ln, w):
+                out.append(seq[j : j + w] + eol)
+        else:
+            out.append(seq + eol)
+    return "".join(out).encode()
+
+
+def _random_fastq(rng, n_rec, maxlen=200, crlf=False):
+    out = []
+    eol = "\r\n" if crlf else "\n"
+    for i in range(n_rec):
+        ln = rng.randrange(0, maxlen)
+        seq = "".join(rng.choice("ACGTN") for _ in range(ln))
+        # quality can contain '@', '>' and '+' at line starts
+        qual = "".join(
+            rng.choice("@>+!IJKLMNOP") for _ in range(ln)
+        )
+        out.append("@read%d c%d%s" % (i, i, eol))
+        out.append(seq + eol)
+        out.append(("+" if rng.random() < 0.5 else "+read%d" % i) + eol)
+        out.append(qual + eol)
+    return "".join(out).encode()
+
+
+def _reference_rows(data: bytes, k: int, chunk_len: int):
+    """Expected packing via the pure-Python record path."""
+    from mash_tpu.core.engine import chunk_stream
+
+    records = [r for r in parse_fastx(io.BytesIO(data))]
+    kept = [r for r in records if len(r.seq) >= k]
+    seqs = [r.seq for r in records]  # ingest packs short records too
+    rows = []
+    for chunk, used in chunk_stream(seqs, k, chunk_len):
+        row = chunk[:used] + b"\x00" * (chunk_len - used)
+        rows.append(np.frombuffer(row, dtype=np.uint8))
+    meta = {
+        "count": len(kept),
+        "total_len": sum(len(r.seq) for r in kept),
+        "skipped": any(len(r.seq) < k for r in records),
+        "first_header": (
+            (kept[0].name + " " + kept[0].comment).rstrip()
+            if kept and kept[0].comment
+            else (kept[0].name if kept else "")
+        ),
+    }
+    return rows, meta
+
+
+def _kmer_multiset(rows, k: int, chunk_len: int):
+    """All valid k-mer windows across rows (the overlap-invariant view)."""
+    from collections import Counter
+
+    # Rows overlap by exactly k-1 bytes, so no window fits fully inside
+    # the overlap: counting per-row windows never double-counts, and
+    # boundary-spanning windows appear exactly once (in the later row).
+    c = Counter()
+    for row in rows:
+        b = bytes(row)
+        for i in range(chunk_len - k + 1):
+            w = b[i : i + k]
+            if b"\x00" in w:
+                continue
+            c[w] += 1
+    return c
+
+
+def _ingest_rows(data: bytes, k: int, chunk_len: int, block: int):
+    ing = NativeIngest(chunk_len, k)
+    rows = []
+    for i in range(0, len(data), block):
+        r = ing.feed(data[i : i + block])
+        if r.shape[0]:
+            rows.append(r)
+    r = ing.finish()
+    if r.shape[0]:
+        rows.append(r)
+    allr = (
+        np.concatenate(rows, axis=0)
+        if rows
+        else np.zeros((0, chunk_len), np.uint8)
+    )
+    return [allr[i] for i in range(allr.shape[0])], ing
+
+
+@pytest.mark.parametrize("kind", ["fasta", "fastq"])
+@pytest.mark.parametrize("crlf", [False, True])
+@pytest.mark.parametrize("block", [7, 113, 1 << 12, 1 << 20])
+def test_ingest_matches_python_path(kind, crlf, block):
+    rng = random.Random(hash((kind, crlf, block)) & 0xFFFF)
+    k = 21
+    chunk_len = 1 << 12
+    if kind == "fasta":
+        data = _random_fasta(rng, 40, crlf=crlf)
+    else:
+        data = _random_fastq(rng, 40, crlf=crlf)
+
+    exp_rows, exp_meta = _reference_rows(data, k, chunk_len)
+    got_rows, ing = _ingest_rows(data, k, chunk_len, block)
+
+    # metadata parity
+    assert ing.count == exp_meta["count"]
+    assert ing.total_len == exp_meta["total_len"]
+    assert ing.skipped == exp_meta["skipped"]
+
+    # k-mer multiset parity (chunk boundaries may differ because the
+    # packer also emits short records, which contribute no windows)
+    exp_k = _kmer_multiset(exp_rows, k, chunk_len)
+    got_k = _kmer_multiset(got_rows, k, chunk_len)
+    assert exp_k == got_k
+
+
+def test_ingest_first_header_and_ordinal():
+    k = 21
+    data = (
+        b">shorty\nACGT\n"
+        b">first_valid a comment here\n" + b"A" * 50 + b"\n"
+        b">second\n" + b"C" * 40 + b"\n"
+    )
+    rows, ing = _ingest_rows(data, k, 64, 16)
+    assert ing.count == 2
+    assert ing.skipped is True
+    assert ing.first_ordinal == 1
+    assert ing.first_header == "first_valid a comment here"
+
+
+def test_ingest_gzip_pipeline(tmp_path):
+    rng = random.Random(7)
+    data = _random_fastq(rng, 200)
+    gz = tmp_path / "reads.fastq.gz"
+    gz.write_bytes(gzip.compress(data))
+
+    from mash_tpu.io.ingest import IngestPipeline
+
+    k = 21
+    chunk_len = 1 << 12
+    pipe = IngestPipeline([str(gz)], k, chunk_len, batch_rows=4)
+    rows = []
+    for batch in pipe.batches():
+        assert batch.shape == (4, chunk_len)
+        for r in batch:
+            if r.any():
+                rows.append(r)
+    exp_rows, exp_meta = _reference_rows(data, k, chunk_len)
+    assert _kmer_multiset(rows, k, chunk_len) == _kmer_multiset(
+        exp_rows, k, chunk_len
+    )
+    assert pipe.metas[0].count == exp_meta["count"]
+
+
+@pytest.mark.parametrize("pack_mode", [1, 2])
+def test_packed_rows_reconstruct(pack_mode):
+    """Device unpack of packed rows == raw rows with invalids zeroed."""
+    import jax.numpy as jnp
+
+    from mash_tpu.ops.kmers import unpack_chunks
+
+    rng = random.Random(11)
+    k = 21
+    chunk_len = 1 << 12
+    data = _random_fasta(rng, 30, maxlen=600)
+    raw_rows, _ = _ingest_rows(data, k, chunk_len, 1 << 12)
+    ing = NativeIngest(chunk_len, k, pack_mode)
+    packed = []
+    for i in range(0, len(data), 4096):
+        r = ing.feed(data[i : i + 4096])
+        if r.shape[0]:
+            packed.append(r)
+    r = ing.finish()
+    if r.shape[0]:
+        packed.append(r)
+    pk = np.concatenate(packed, axis=0)
+    assert pk.shape[1] == chunk_len // 4 + chunk_len // 8
+
+    got = np.asarray(unpack_chunks(jnp.asarray(pk), chunk_len))
+    exp = np.stack(raw_rows)
+    # expected reconstruction: valid ACGT bytes (case folded for mode 1)
+    # survive, everything else -> 0
+    e = exp.copy()
+    if pack_mode == 1:
+        low = (e >= ord("a")) & (e <= ord("z"))
+        e = np.where(low, e - 32, e)
+    validset = np.isin(e, np.frombuffer(b"ACGT", dtype=np.uint8))
+    e = np.where(validset, e, 0)
+    np.testing.assert_array_equal(got, e)
+
+
+def test_packed_sketch_parity(tmp_path):
+    """Packed fast path == raw record path on the full sketch."""
+    from mash_tpu.core.engine import SketchEngine, sketch_records_concat
+    from mash_tpu.core.loader import _sketch_file_fast
+    from mash_tpu.core.params import default_nucleotide_params
+    from mash_tpu.io.fastx import read_fastx
+
+    rng = random.Random(5)
+    data = _random_fasta(rng, 50, maxlen=3000)
+    f = tmp_path / "g.fna"
+    f.write_bytes(data)
+
+    params = default_nucleotide_params()
+    engine = SketchEngine(params, chunk_len=1 << 14)
+    ref_slow, _s, _c, _k = sketch_records_concat(
+        engine, read_fastx(str(f)), str(f), is_stdin=False
+    )
+    # _sketch_file_fast picks packed mode for the ACGT alphabet
+    ref_fast, _s2, _c2, _k2 = _sketch_file_fast(engine, str(f))
+    np.testing.assert_array_equal(ref_fast.hashes, ref_slow.hashes)
+    np.testing.assert_array_equal(ref_fast.counts, ref_slow.counts)
+
+
+def test_ingest_sketch_parity_with_record_path(tmp_path):
+    """End to end: fast pipeline fold == record-path fold (same hash set)."""
+    from mash_tpu.core.engine import SketchEngine, sketch_records_concat
+    from mash_tpu.core.loader import _sketch_file_fast
+    from mash_tpu.core.params import default_nucleotide_params
+    from mash_tpu.io.fastx import read_fastx
+
+    rng = random.Random(3)
+    data = _random_fasta(rng, 60, maxlen=4000, multiline=True)
+    f = tmp_path / "g.fna"
+    f.write_bytes(data)
+
+    params = default_nucleotide_params()
+    engine = SketchEngine(params, chunk_len=1 << 14)
+    ref_slow, _s, count_slow, _sk = sketch_records_concat(
+        engine, read_fastx(str(f)), str(f), is_stdin=False
+    )
+    ref_fast, _s2, count_fast, _sk2 = _sketch_file_fast(engine, str(f))
+    assert count_fast == count_slow
+    np.testing.assert_array_equal(ref_fast.hashes, ref_slow.hashes)
+    np.testing.assert_array_equal(ref_fast.counts, ref_slow.counts)
+    assert ref_fast.length == ref_slow.length
+    assert ref_fast.comment == ref_slow.comment
+    assert ref_fast.name == ref_slow.name

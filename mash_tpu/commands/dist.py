@@ -20,7 +20,15 @@ from mash_tpu.core.loader import (
     SUFFIX_SKETCH,
 )
 from mash_tpu.io.formatting import cpp_double
-from mash_tpu.ops.distance import common_denom_tiled, pad_sketches
+from mash_tpu.ops.distance import (
+    common_denom_tiled,
+    pad_sketches,
+    stream_pair_stripes,
+)
+
+# Above this many pair cells the full [NQ, NR] matrices stream as row
+# stripes instead of materializing on host.
+STREAM_MIN_CELLS = 1 << 22
 
 
 class CommandDistance(Command):
@@ -209,67 +217,89 @@ class CommandDistance(Command):
         qry_h, qry_n = pad_sketches(
             [r.hashes for r in sketch_query.references], width
         )
-        common, denom = common_denom_tiled(
-            qry_h, qry_n, ref_h, ref_n, cap,
-            use64=sketch_ref.params.use64,
-        )
-
         k = sketch_ref.params.kmer_size
         kmer_space = sketch_ref.params.kmer_space
-        dist = stats.mash_distance_array(common, denom, k)
-        ref_len = np.array(
-            [r.length for r in sketch_ref.references], dtype=np.float64
-        )
-        qry_len = np.array(
-            [r.length for r in sketch_query.references], dtype=np.float64
-        )
-        pvals = stats.pair_pvalue_array(
-            common,
-            ref_len[None, :],
-            qry_len[:, None],
-            kmer_space,
-            denom,
-        )
-
-        # Vectorized row formatting (np.char.mod is C printf "%.6g",
-        # identical to cpp_double for the finite values produced here).
         refs = sketch_ref.references
-        for i, qry in enumerate(sketch_query.references):
-            drow = dist[i]
-            prow = pvals[i]
-            passed = np.ones(len(refs), dtype=bool)
-            if distance_max >= 0:
-                passed &= drow <= distance_max
-            if pvalue_max >= 0:
-                passed &= prow <= pvalue_max
-            if table:
-                dstr = np.char.mod("%.6g", drow)
-                cells = np.where(passed, dstr, "")
-                out.write(qry.name)
-                out.write("\t")
-                out.write("\t".join(cells))
-                out.write("\n")
-                continue
-            if not passed.any():
-                continue
-            idx = np.nonzero(passed)[0]
-            dstr = np.char.mod("%.6g", drow[idx])
-            pstr = np.char.mod("%.6g", prow[idx])
-            qn = qry.name + (":" + qry.comment if comment else "")
-            for t, j in enumerate(idx):
-                ref = refs[j]
-                rn = ref.name + (":" + ref.comment if comment else "")
-                out.write(
-                    "%s\t%s\t%s\t%s\t%d/%d\n"
-                    % (
-                        rn,
-                        qn,
-                        dstr[t],
-                        pstr[t],
-                        int(common[i, j]),
-                        int(denom[i, j]),
+        queries = sketch_query.references
+        ref_len = np.array([r.length for r in refs], dtype=np.float64)
+        qry_len = np.array([r.length for r in queries], dtype=np.float64)
+
+        def emit_block(i0, common, denom):
+            """Format query rows [i0, i0+rows) (reference streams in
+            input order, ``CommandDistance.cpp:230-236``)."""
+            dist = stats.mash_distance_array(common, denom, k)
+            pvals = stats.pair_pvalue_array(
+                common,
+                ref_len[None, :],
+                qry_len[i0 : i0 + common.shape[0], None],
+                kmer_space,
+                denom,
+            )
+            # Vectorized row formatting (np.char.mod is C printf
+            # "%.6g", identical to cpp_double for finite values).
+            for r in range(common.shape[0]):
+                i = i0 + r
+                qry = queries[i]
+                drow = dist[r]
+                prow = pvals[r]
+                passed = np.ones(len(refs), dtype=bool)
+                if distance_max >= 0:
+                    passed &= drow <= distance_max
+                if pvalue_max >= 0:
+                    passed &= prow <= pvalue_max
+                if table:
+                    dstr = np.char.mod("%.6g", drow)
+                    cells = np.where(passed, dstr, "")
+                    out.write(qry.name)
+                    out.write("\t")
+                    out.write("\t".join(cells))
+                    out.write("\n")
+                    continue
+                if not passed.any():
+                    continue
+                idx = np.nonzero(passed)[0]
+                dstr = np.char.mod("%.6g", drow[idx])
+                pstr = np.char.mod("%.6g", prow[idx])
+                qn = qry.name + (":" + qry.comment if comment else "")
+                for t, j in enumerate(idx):
+                    ref = refs[j]
+                    rn = ref.name + (
+                        ":" + ref.comment if comment else ""
                     )
+                    out.write(
+                        "%s\t%s\t%s\t%s\t%d/%d\n"
+                        % (
+                            rn,
+                            qn,
+                            dstr[t],
+                            pstr[t],
+                            int(common[r, j]),
+                            int(denom[r, j]),
+                        )
+                    )
+
+        n_cells = len(queries) * len(refs)
+        if n_cells > STREAM_MIN_CELLS and cap < 65536:
+            for i0, stripe in stream_pair_stripes(
+                qry_h, qry_n, ref_h, ref_n, cap,
+                use64=sketch_ref.params.use64,
+            ):
+                rows = min(stripe.shape[0], len(queries) - i0)
+                if rows <= 0:
+                    continue
+                emit_block(
+                    i0,
+                    (stripe[:rows] & np.uint32(0xFFFF)).astype(
+                        np.int64
+                    ),
+                    (stripe[:rows] >> np.uint32(16)).astype(np.int64),
                 )
+        else:
+            common, denom = common_denom_tiled(
+                qry_h, qry_n, ref_h, ref_n, cap,
+                use64=sketch_ref.params.use64,
+            )
+            emit_block(0, common, denom)
 
         if warning_count > 0 and not params.reads:
             warn_kmer_size(

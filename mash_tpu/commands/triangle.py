@@ -16,7 +16,15 @@ from mash_tpu.cli.setup import sketch_parameter_setup, warn_kmer_size
 from mash_tpu.core import stats
 from mash_tpu.core.loader import init_from_files
 from mash_tpu.io.formatting import cpp_double
-from mash_tpu.ops.distance import common_denom_tiled, pad_sketches
+from mash_tpu.ops.distance import (
+    common_denom_tiled,
+    pad_sketches,
+    stream_pair_stripes,
+)
+
+# Above this many sketches the full [N, N] matrices would not fit in
+# host RAM (the 100k north-star needs ~2x40 GB); stripes stream instead.
+STREAM_MIN_SKETCHES = 2048
 
 
 class CommandTriangle(Command):
@@ -95,6 +103,111 @@ class CommandTriangle(Command):
         )
         self.use_sketch_options()
 
+    def _run_streamed(
+        self, sketch, refs, H, N, cap, out, edge, comment,
+        pvalue_max, distance_max,
+    ) -> float:
+        """Stream the lower triangle in bounded memory.
+
+        Row stripes of device compute stay one step ahead of host
+        formatting (``stream_pair_stripes``); PHYLIP cell text goes
+        through the memoized native formatter.  Replaces the full
+        ``[N, N]`` host matrices that made the 100k-genome north star
+        impossible (reference streams per pair block,
+        ``CommandTriangle.cpp:131-198``).  Returns the max p-value.
+        """
+        from mash_tpu.native import DistFormatter
+
+        n = len(refs)
+        k = sketch.params.kmer_size
+        kmer_space = sketch.params.kmer_space
+        lengths = np.array([r.length for r in refs], dtype=np.float64)
+        names = [
+            (r.comment if comment else r.name) for r in refs
+        ]
+        fmt = DistFormatter(k, cap)
+        pvalue_peak = 0.0
+        saw_zero_common = False
+
+        for i0, stripe in stream_pair_stripes(
+            H, N, H, N, cap, use64=sketch.params.use64, triangle=True
+        ):
+            rows = stripe.shape[0]
+            i1 = min(i0 + rows, n)
+            if i1 <= i0:
+                continue
+            common = (stripe & np.uint32(0xFFFF)).astype(np.int64)
+            denom = (stripe >> np.uint32(16)).astype(np.int64)
+            # sub-diagonal mask for this stripe
+            cols = stripe.shape[1]
+            sub = (
+                np.arange(cols)[None, :]
+                < np.arange(i0, i0 + rows)[:, None]
+            )
+            sub[i1 - i0 :, :] = False
+            if not saw_zero_common and np.any(sub & (common == 0)):
+                saw_zero_common = True  # pValue(0) == 1, the max
+                pvalue_peak = 1.0
+            need_p = edge or not saw_zero_common
+            if need_p:
+                nz = sub & (common > 0)
+                ii, jj = np.nonzero(nz)
+                pv = stats.pair_pvalue_array(
+                    common[nz],
+                    lengths[jj],
+                    lengths[i0 + ii],
+                    kmer_space,
+                    denom[nz],
+                )
+                if pv.size:
+                    pvalue_peak = max(pvalue_peak, float(pv.max()))
+            for r in range(max(i0, 1) - i0, i1 - i0):
+                i = i0 + r
+                if edge:
+                    crow = common[r, :i]
+                    drow_v = stats.mash_distance_array(
+                        crow, denom[r, :i], k
+                    )
+                    prow = np.ones(i, dtype=np.float64)
+                    nzr = crow > 0
+                    if nzr.any():
+                        prow[nzr] = stats.pair_pvalue_array(
+                            crow[nzr],
+                            lengths[:i][nzr],
+                            np.full(int(nzr.sum()), lengths[i]),
+                            kmer_space,
+                            denom[r, :i][nzr],
+                        )
+                    passed = np.ones(i, dtype=bool)
+                    if distance_max >= 0:
+                        passed &= drow_v <= distance_max
+                    if pvalue_max >= 0:
+                        passed &= prow <= pvalue_max
+                    if not passed.any():
+                        continue
+                    idx = np.nonzero(passed)[0]
+                    dstr = np.char.mod("%.6g", drow_v[idx])
+                    pstr = np.char.mod("%.6g", prow[idx])
+                    for t, j in enumerate(idx):
+                        out.write(
+                            "%s\t%s\t%s\t%s\t%d/%d\n"
+                            % (
+                                names[i],
+                                names[j],
+                                dstr[t],
+                                pstr[t],
+                                int(common[r, j]),
+                                int(denom[r, j]),
+                            )
+                        )
+                else:
+                    out.write(names[i])
+                    out.write(
+                        fmt.phylip_cells(stripe[r, :i]).decode("ascii")
+                    )
+                    out.write("\n")
+        return pvalue_peak
+
     def run(self) -> int:
         if len(self.arguments) < 1 or self.get_option("help").active:
             self.print_help()
@@ -157,6 +270,21 @@ class CommandTriangle(Command):
             cap, max((len(r.hashes) for r in refs), default=1)
         )
         H, N = pad_sketches([r.hashes for r in refs], width)
+
+        if n > STREAM_MIN_SKETCHES and cap < 65536:
+            pvalue_peak = self._run_streamed(
+                sketch, refs, H, N, cap, out, edge, comment,
+                pvalue_max, distance_max,
+            )
+            if not edge:
+                err.write("Max p-value: %s\n" % cpp_double(pvalue_peak))
+            if warning_count > 0 and not params.reads:
+                warn_kmer_size(
+                    params, self, length_max, length_max_name,
+                    random_chance, k_min, warning_count,
+                )
+            return 0
+
         common, denom = common_denom_tiled(
             H, N, H, N, cap, use64=sketch.params.use64
         )

@@ -194,19 +194,68 @@ def pairwise_common_denom_auto(
     return pairwise_common_denom(qry, nqry, ref, nref, cap=cap)
 
 
+@jax.jit
+def rank_compress(Hq, Hr):
+    """Map two uint64 sketch matrices to order/equality-preserving
+    uint32 rank keys.
+
+    Bottom-s hashes need full 64-bit compares, which doubles the Pallas
+    pairwise kernel's VPU work (two int32 planes).  Dense ranking —
+    sort all values once, number distinct values in order, restore
+    original positions with a second key/payload sort (no gather or
+    scatter, both slow on TPU) — yields int32 keys with *identical*
+    comparison results, so every pair tile can run the ~1.7x single-
+    plane kernel regardless of hash width.  EMPTY (2^64-1) pads map to
+    the uint32 sentinel 0xFFFFFFFF the 32-bit kernel already excludes.
+    Cost: two large sorts, once per matrix pair — amortized over
+    O(N^2) pair comparisons.
+    """
+    nq = Hq.shape[0]
+    flat = jnp.concatenate([Hq.reshape(-1), Hr.reshape(-1)])
+    n = flat.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sv, si = jax.lax.sort((flat, idx), num_keys=1)
+    is_new = jnp.concatenate(
+        [
+            jnp.ones((1,), dtype=jnp.int32),
+            (sv[1:] != sv[:-1]).astype(jnp.int32),
+        ]
+    )
+    rank_sorted = jnp.cumsum(is_new, dtype=jnp.int32) - 1
+    _, ranks = jax.lax.sort((si, rank_sorted), num_keys=1)
+    keys = jnp.where(
+        flat == EMPTY,
+        jnp.uint32(0xFFFFFFFF),
+        ranks.astype(jnp.uint32),
+    )
+    kq = keys[: nq * Hq.shape[1]].reshape(Hq.shape)
+    kr = keys[nq * Hq.shape[1] :].reshape(Hr.shape)
+    return kq, kr
+
+
 @functools.lru_cache(maxsize=None)
 def _stripe_tile_fn(cap: int, use64: bool, row_block: int, tile_r: int,
-                    n_dev: int):
+                    n_dev: int, ranked: bool = False):
     """Jitted (Hq, Nq, Hr, Nr, qi, ri) -> packed uint32 tile.
 
     Row/col starts are traced (``dynamic_slice``) so every stripe tile
     reuses ONE compiled program regardless of position; outputs pack
     ``common | denom << 16`` to halve the device->host readback (valid
-    because ``common <= denom <= cap < 2^16``).
+    because ``common <= denom <= cap < 2^16``).  With ``ranked`` the
+    inputs are uint32 rank keys (``rank_compress``) and the single-
+    plane kernel runs regardless of hash width.
     """
     import jax.lax as lax
 
-    if n_dev > 1:
+    if ranked:
+        from mash_tpu.ops.pallas_pairwise import (
+            pairwise_common_denom_keys32,
+        )
+
+        inner = functools.partial(
+            pairwise_common_denom_keys32, cap=cap
+        )
+    elif n_dev > 1:
         from mash_tpu.parallel import mesh as pmesh
 
         inner = pmesh.cached_sharded_pairwise_fn(cap, use64)
@@ -274,16 +323,40 @@ def stream_pair_stripes(
         pad = np.full((m - n,) + arr.shape[1:], fill, dtype=arr.dtype)
         return np.concatenate([arr, pad], axis=0)
 
-    Hq = jnp.asarray(padded(qry_h, row_block, empty))
-    Nq = jnp.asarray(padded(qry_n.astype(np.int32), row_block, 0))
-    if triangle:
-        Hr = jnp.asarray(padded(qry_h, tile_r, empty))
-        Nr = jnp.asarray(padded(qry_n.astype(np.int32), tile_r, 0))
-    else:
-        Hr = jnp.asarray(padded(ref_h, tile_r, empty))
-        Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
+    # Rank-compress to uint32 keys on the single-device TPU path so
+    # every tile runs the single-plane kernel (ranking costs two sorts
+    # once; the kernel runs O(N^2) times).
+    ranked = use64 and big and n_dev == 1
+    if ranked and triangle:
+        import math
 
-    tile_fn = _stripe_tile_fn(cap, use64, row_block, tile_r, n_dev)
+        mult = row_block * tile_r // math.gcd(row_block, tile_r)
+        Hp = jnp.asarray(padded(qry_h, mult, empty))
+        Np = jnp.asarray(padded(qry_n.astype(np.int32), mult, 0))
+        Hq, Hr = rank_compress(Hp, Hp[:0])
+        Hr = Hq
+        Nq = Nr = Np
+        del Hp
+    elif ranked:
+        Hqd = jnp.asarray(padded(qry_h, row_block, empty))
+        Hrd = jnp.asarray(padded(ref_h, tile_r, empty))
+        Nq = jnp.asarray(padded(qry_n.astype(np.int32), row_block, 0))
+        Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
+        Hq, Hr = rank_compress(Hqd, Hrd)
+        del Hqd, Hrd
+    else:
+        Hq = jnp.asarray(padded(qry_h, row_block, empty))
+        Nq = jnp.asarray(padded(qry_n.astype(np.int32), row_block, 0))
+        if triangle:
+            Hr = jnp.asarray(padded(qry_h, tile_r, empty))
+            Nr = jnp.asarray(padded(qry_n.astype(np.int32), tile_r, 0))
+        else:
+            Hr = jnp.asarray(padded(ref_h, tile_r, empty))
+            Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
+
+    tile_fn = _stripe_tile_fn(
+        cap, use64, row_block, tile_r, n_dev, ranked
+    )
 
     def dispatch(i0):
         rows = min(row_block, nq - i0)
@@ -308,9 +381,7 @@ def stream_pair_stripes(
         return i0, stripe[:rows, :cols]
 
     pend = None
-    start = 1 if triangle else 0
-    for i0 in range(start if triangle and row_block == 1 else 0, nq,
-                    row_block):
+    for i0 in range(0, nq, row_block):
         item = dispatch(i0)
         if pend is not None:
             yield materialize(pend)

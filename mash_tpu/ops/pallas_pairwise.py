@@ -285,6 +285,47 @@ def _pad_rows(x, mult, fill):
     return jnp.concatenate([x, pad], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("cap", "tq", "tr"))
+def pairwise_common_denom_keys32(
+    qry, nqry, ref, nref, *, cap: int, tq: int = 128, tr: int = 128
+):
+    """Single-plane pairwise kernel over uint32 comparison keys.
+
+    Entry for rank-compressed sketches (``distance.rank_compress``):
+    ``qry``/``ref`` are uint32 ``[N, s]`` sorted key matrices with
+    0xFFFFFFFF sentinel padding.  Same contract/outputs as
+    ``pairwise_common_denom_pallas`` but ~1.7x faster for 64-bit hash
+    inputs because the merge carries one int32 plane instead of two.
+    """
+    nq, s = qry.shape
+    nr = ref.shape[0]
+    sp = 1
+    while sp < max(s, 128):
+        sp *= 2
+    sent = jnp.uint32(0xFFFFFFFF)
+    if sp != s:
+        qry = jnp.concatenate(
+            [qry, jnp.full((nq, sp - s), sent, dtype=jnp.uint32)],
+            axis=1,
+        )
+        ref = jnp.concatenate(
+            [ref, jnp.full((nr, sp - s), sent, dtype=jnp.uint32)],
+            axis=1,
+        )
+    tq = min(tq, 8 * ((nq + 7) // 8))
+    tr = min(tr, 8 * ((nr + 7) // 8))
+    nqa = _pad_rows(nqry.astype(jnp.int32)[:, None], tq, jnp.int32(0))
+    nra = _pad_rows(nref.astype(jnp.int32)[:, None], tr, jnp.int32(0))
+    qk = jax.lax.bitcast_convert_type(qry, jnp.int32) ^ _SIGN
+    rk = jax.lax.bitcast_convert_type(ref[:, ::-1], jnp.int32) ^ _SIGN
+    qk = _pad_rows(qk, tq, jnp.int32(0x7FFFFFFF))
+    rk = _pad_rows(rk, tr, jnp.int32(0x7FFFFFFF))
+    interpret = jax.default_backend() != "tpu"
+    call = _build32(qk.shape[0], rk.shape[0], sp, tq, tr, cap, interpret)
+    common_t, denom_t = call(qk, nqa, rk, nra)
+    return common_t.T[:nq, :nr], denom_t.T[:nq, :nr]
+
+
 @functools.partial(
     jax.jit, static_argnames=("cap", "tq", "tr", "use64")
 )

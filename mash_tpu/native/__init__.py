@@ -76,7 +76,13 @@ def load_library() -> Optional[ctypes.CDLL]:
         u32 = ctypes.c_uint32
         p = ctypes.c_void_p
         lib.mash_heap_create.restype = p
-        lib.mash_heap_create.argtypes = [u64, u32, u64]
+        lib.mash_heap_create.argtypes = [u64, u32, u64, ctypes.c_int]
+        lib.mash_bloom_create.restype = p
+        lib.mash_bloom_create.argtypes = [u64, ctypes.c_int]
+        lib.mash_bloom_destroy.argtypes = [p]
+        lib.mash_bloom_contains.restype = ctypes.c_int
+        lib.mash_bloom_contains.argtypes = [p, u64]
+        lib.mash_bloom_insert.argtypes = [p, u64]
         lib.mash_heap_destroy.argtypes = [p]
         lib.mash_heap_insert.argtypes = [p, ctypes.c_void_p, i64]
         lib.mash_heap_size.restype = i64
@@ -167,13 +173,15 @@ class ExactHeap:
         lib = load_library()
         if lib is not None:
             self._lib = lib
-            self._h = lib.mash_heap_create(cap, min_cov, bloom_bytes)
+            self._h = lib.mash_heap_create(
+                cap, min_cov, bloom_bytes, int(use64)
+            )
             self._py = None
         else:
             from mash_tpu.native.pyheap import PyExactHeap
 
             self._lib = None
-            self._py = PyExactHeap(cap, min_cov, bloom_bytes)
+            self._py = PyExactHeap(cap, min_cov, bloom_bytes, use64)
 
     def insert(self, hashes: np.ndarray) -> None:
         """Insert hashes in stream order."""

@@ -12,8 +12,51 @@ import heapq
 import numpy as np
 
 
+class PyBloom:
+    """Pure-python Partow-compatible single-hash Bloom probe.
+
+    Mirrors ``native/mash_native.cpp`` ``Bloom`` (see its comment for
+    the degenerate-parameter analysis of the reference's fpp=0 setup):
+    one hash_ap probe over a ``max_bytes*8``-bit table.
+    """
+
+    M32 = 0xFFFFFFFF
+
+    def __init__(self, max_bytes: int, use64: bool):
+        self.table_size = max(1, max_bytes * 8)
+        self.bits = bytearray((self.table_size + 7) // 8)
+        seed = (0xA5A5A5A55A5A5A5A * 0xA5A5A5A5 + 1) & (2**64 - 1)
+        self.salt = (0xAAAAAAAA * 0xAAAAAAAA + seed) & self.M32
+        self.use64 = use64
+
+    def _hash(self, key: int) -> int:
+        M = self.M32
+        h = self.salt
+        if self.use64:
+            i1 = key & M
+            i2 = (key >> 32) & M
+            h ^= (
+                ((h << 7) & M)
+                ^ ((i1 * (h >> 3)) & M)
+                ^ (~(((h << 11) & M) + (i2 ^ (h >> 5))) & M)
+            )
+        else:
+            h ^= ~(((h << 11) & M) + ((key & M) ^ (h >> 5))) & M
+        return h & M
+
+    def probe(self, key: int, insert: bool) -> bool:
+        bit_index = self._hash(key) % self.table_size
+        byte, mask = bit_index // 8, 1 << (bit_index % 8)
+        if self.bits[byte] & mask:
+            return True
+        if insert:
+            self.bits[byte] |= mask
+        return False
+
+
 class PyExactHeap:
-    def __init__(self, cap: int, min_cov: int = 1, bloom_bytes: int = 0):
+    def __init__(self, cap: int, min_cov: int = 1, bloom_bytes: int = 0,
+                 use64: bool = True):
         self.cap = cap
         self.min_cov = min_cov
         self.counts = {}
@@ -21,9 +64,9 @@ class PyExactHeap:
         self.pending = {}
         self.pending_heap = []
         self.multiplicity_sum = 0
-        self.bloom = set() if bloom_bytes else None
-        # the python fallback's "bloom" is an exact set: a strictly more
-        # accurate stand-in for an approximate filter
+        self.bloom = (
+            PyBloom(bloom_bytes, use64) if bloom_bytes else None
+        )
 
     @property
     def size(self) -> int:
@@ -40,12 +83,12 @@ class PyExactHeap:
             return
         if h not in self.counts:
             if self.bloom is not None:
-                if h in self.bloom:
+                if self.bloom.probe(h, insert=False):
                     self.counts[h] = 2
                     heapq.heappush(self.heap, -h)
                     self.multiplicity_sum += 2
                 else:
-                    self.bloom.add(h)
+                    self.bloom.probe(h, insert=True)
                     return
             elif self.min_cov == 1:
                 self.counts[h] = 1

@@ -16,15 +16,19 @@ Design here (sorted-window equality count):
   start is precomputed with a searchsorted over tile boundaries (tiny:
   H/D queries per batch);
 - a Pallas grid walks the DB tiles; each step loads its [D, 1] DB
-  block and a [2, C] window of the sorted batch selected by a
-  *scalar-prefetched* row offset, and counts exact 64-bit equality by
-  broadcast compare-reduce — no gather, no scatter, no DB sort;
-- a coverage certificate (every tile's matching span fits its 2C
-  window) is checked per batch; failure (pathologically skewed
-  hashes — impossible for MurmurHash-uniform data) falls back to the
-  exact sort tier, the repo's standard certificate+fallback pattern.
+  block plus two consecutive [G/128, 128] blocks of the sorted batch
+  selected by a *scalar-prefetched* block offset (Mosaic requires
+  8-sublane-aligned blocks, hence the two-block window trick: a span
+  of <= G elements starting anywhere is always covered by two
+  G-aligned blocks), and counts exact 64-bit equality by broadcast
+  compare-reduce — no gather, no scatter, no DB sort;
+- a coverage certificate (every tile's matching span of *real* db
+  values lies inside its 2G window) is checked per batch; failure
+  (pathologically skewed hashes — impossible for MurmurHash-uniform
+  data) falls back to the exact sort tier, the repo's standard
+  certificate+fallback pattern.
 
-Work per batch is O(H + n * margin) compares instead of
+Work per batch is O(H * G/D + n) compares instead of
 O((n + 2H) log(n + 2H)) sorted elements per chunk.
 """
 
@@ -39,11 +43,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# DB tile height and window width (lanes).  A [D, 1] db block compares
-# against a [2, C] sorted-batch window -> [D, C] per row; see module
-# docstring for the cost model.
+# DB tile height and window granularity (elements).  G must be a
+# multiple of 1024 (8 sublanes x 128 lanes) on real TPUs; D a multiple
+# of 8.  Each grid step compares a [D, 1] db block against a 2G-element
+# window.
 D_TILE = 512
-C_WIN = 1024
+G_WIN = 1024
+LANES = 128
 
 _I0 = np.int32(0)
 
@@ -59,75 +65,71 @@ def _split_planes(x):
     return hi, lo
 
 
-def _count_kernel(offs_ref, dbh_ref, dbl_ref, wh0_ref, wl0_ref,
-                  wh1_ref, wl1_ref, out_ref):
-    """One DB tile: count each db hash's occurrences in its window.
+def _make_count_kernel(rows: int):
+    def kernel(offs_ref, dbh_ref, dbl_ref, wh0_ref, wl0_ref,
+               wh1_ref, wl1_ref, out_ref):
+        dh = dbh_ref[:]  # [D, 1]
+        dl = dbl_ref[:]
+        acc = jnp.zeros(dh.shape, dtype=jnp.int32)
+        for w_h, w_l in ((wh0_ref, wl0_ref), (wh1_ref, wl1_ref)):
+            for r in range(rows):  # static unroll over subrows
+                eq = (dh == w_h[r : r + 1, :]) & (
+                    dl == w_l[r : r + 1, :]
+                )  # [D, LANES]
+                acc = acc + jnp.sum(
+                    eq, axis=1, dtype=jnp.int32
+                )[:, None]
+        out_ref[:] = acc
 
-    The window is passed as two separate [1, C] row blocks so its start
-    row is addressable at single-row granularity (a [2, C] block could
-    only start at even rows).
-    """
-    dh = dbh_ref[:]  # [D, 1]
-    dl = dbl_ref[:]
-    eq0 = (dh == wh0_ref[:]) & (dl == wl0_ref[:])  # [D, C]
-    eq1 = (dh == wh1_ref[:]) & (dl == wl1_ref[:])
-    acc = (
-        jnp.sum(eq0, axis=1, dtype=jnp.int32)
-        + jnp.sum(eq1, axis=1, dtype=jnp.int32)
-    )
-    out_ref[:] = acc[:, None]
+    return kernel
 
 
 @functools.lru_cache(maxsize=None)
-def _build_count(T: int, n_rows: int, interpret: bool):
+def _build_count(T: int, n_rows: int, D: int, G: int,
+                 interpret: bool):
+    rows = G // LANES
+    db_spec = pl.BlockSpec((D, 1), lambda t, offs: (t, _I0))
+    w0 = pl.BlockSpec((rows, LANES), lambda t, offs: (offs[t], _I0))
+    w1 = pl.BlockSpec(
+        (rows, LANES), lambda t, offs: (offs[t] + 1, _I0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((D_TILE, 1), lambda t, offs: (t, _I0)),
-            pl.BlockSpec((D_TILE, 1), lambda t, offs: (t, _I0)),
-            pl.BlockSpec((1, C_WIN), lambda t, offs: (offs[t], _I0)),
-            pl.BlockSpec((1, C_WIN), lambda t, offs: (offs[t], _I0)),
-            pl.BlockSpec(
-                (1, C_WIN), lambda t, offs: (offs[t] + 1, _I0)
-            ),
-            pl.BlockSpec(
-                (1, C_WIN), lambda t, offs: (offs[t] + 1, _I0)
-            ),
-        ],
-        out_specs=pl.BlockSpec((D_TILE, 1), lambda t, offs: (t, _I0)),
+        in_specs=[db_spec, db_spec, w0, w0, w1, w1],
+        out_specs=pl.BlockSpec((D, 1), lambda t, offs: (t, _I0)),
     )
     return pl.pallas_call(
-        _count_kernel,
+        _make_count_kernel(rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T * D_TILE, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T * D, 1), jnp.int32),
         interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("T",))
-def _window_offsets(batch_sorted, tile_min, tile_max, *, T):
-    """Per-tile window row offsets + coverage certificate.
+@functools.partial(jax.jit, static_argnames=("T", "G"))
+def _window_offsets(batch_sorted, tile_min, tile_max, *, T, G):
+    """Per-tile window block offsets + coverage certificate.
 
-    ``offs[t]`` is the C-aligned row of the sorted batch from which DB
-    tile t's [2, C] window is taken; ``ok`` certifies every tile's
-    matching span lies inside its window.
+    ``offs[t]`` is the G-aligned block index of the sorted batch from
+    which DB tile t's 2G-element window starts; ``ok`` certifies every
+    tile's matching span lies inside its window.
     """
     n = batch_sorted.shape[0]
-    n_rows = n // C_WIN
+    n_blocks = n // G
     left = jnp.searchsorted(batch_sorted, tile_min, side="left")
     right = jnp.searchsorted(batch_sorted, tile_max, side="right")
     offs = jnp.clip(
-        (left // C_WIN).astype(jnp.int32), 0, max(n_rows - 2, 0)
+        (left // G).astype(jnp.int32), 0, max(n_blocks - 2, 0)
     )
-    end = (offs.astype(jnp.int64) + 2) * C_WIN
+    end = (offs.astype(jnp.int64) + 2) * G
     ok = jnp.all(right <= end) & jnp.all(
-        left >= offs.astype(jnp.int64) * C_WIN
+        left >= offs.astype(jnp.int64) * G
     )
     return offs, ok
 
 
-def prepare_db_planes(db_hashes: np.ndarray):
+def prepare_db_planes(db_hashes: np.ndarray, D: int = D_TILE):
     """Host-side one-time prep: pad DB to tiles, split planes, bounds.
 
     Returns (dbh, dbl, tile_min, tile_max, H_pad) as device arrays.
@@ -135,13 +137,22 @@ def prepare_db_planes(db_hashes: np.ndarray):
     caller (it would also match masked batch lanes).
     """
     H = len(db_hashes)
-    T = -(-H // D_TILE)
-    H_pad = T * D_TILE
+    T = -(-H // D)
+    H_pad = T * D
     dbp = np.full(H_pad, SENTINEL, dtype=np.uint64)
     dbp[:H] = db_hashes
-    tile_min = dbp[::D_TILE].copy()
-    # pad tiles' max is the sentinel; their window clamps harmlessly
-    tile_max = dbp[D_TILE - 1 :: D_TILE].copy()
+    tile_min = dbp[::D].copy()
+    # The window span certificate must cover only *real* (non-sentinel)
+    # db values: sentinel pads (and a real 2^64-1 db hash, counted
+    # separately by the caller) would drag every boundary tile's
+    # "right" rank across the batch's masked-lane sentinel run and
+    # fail the certificate spuriously.
+    tiles = dbp.reshape(T, D)
+    real = tiles != SENTINEL
+    tile_max = np.where(real, tiles, np.uint64(0)).max(axis=1)
+    none = ~real.any(axis=1)
+    tile_min[none] = 0
+    tile_max[none] = 0
     dbd = jnp.asarray(dbp)
     hi, lo = _split_planes(dbd)
     return (
@@ -154,26 +165,27 @@ def prepare_db_planes(db_hashes: np.ndarray):
 
 
 def count_batch(
-    batch_sorted, dbh, dbl, tile_min, tile_max, counts
+    batch_sorted, dbh, dbl, tile_min, tile_max, counts,
+    D: int = D_TILE, G: int = G_WIN,
 ):
     """Count DB-hash occurrences in one sorted batch; add to counts.
 
     ``batch_sorted`` is uint64 [n] ascending with masked lanes at the
-    top as 2^64-1 sentinels; n must be a multiple of C_WIN.  Returns
+    top as 2^64-1 sentinels; n must be a multiple of G.  Returns
     (counts, ok): if ``ok`` is False the result must be discarded and
     the batch recounted via the fallback tier.
     """
-    T = dbh.shape[0] // D_TILE
+    T = dbh.shape[0] // D
     offs, ok = _window_offsets(
-        batch_sorted, tile_min, tile_max, T=T
+        batch_sorted, tile_min, tile_max, T=T, G=G
     )
     wh, wl = _split_planes(batch_sorted)
-    n_rows = batch_sorted.shape[0] // C_WIN
+    n_rows = batch_sorted.shape[0] // LANES
     call = _build_count(
-        T, n_rows, jax.default_backend() != "tpu"
+        T, n_rows, D, G, jax.default_backend() != "tpu"
     )
-    whr = wh.reshape(n_rows, C_WIN)
-    wlr = wl.reshape(n_rows, C_WIN)
+    whr = wh.reshape(n_rows, LANES)
+    wlr = wl.reshape(n_rows, LANES)
     add = call(offs, dbh, dbl, whr, wlr, whr, wlr)
     # DB pad entries are sentinels: they match masked batch lanes, but
     # their counts land in pad slots the caller strips.

@@ -184,6 +184,137 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     return fold
 
 
+# Above this many DB hashes the per-chunk counting tiers lose to the
+# batched Pallas windowed-count kernel (see ops.pallas_screen): the
+# static DB is tiled/split once and never re-sorted.
+BIG_DB_MIN = 1 << 18
+
+
+class BigDBCounter:
+    """Batched big-DB occurrence counting (the RefSeq-scale tier).
+
+    Chunks' device hashes accumulate into a K-chunk batch; one sort per
+    batch + the Pallas windowed equality-count kernel replace the
+    round-1 per-chunk ``[chunk, db, db]`` 2-key sort, making per-chunk
+    work independent of H.  A coverage certificate guards every batch;
+    failure falls back to the exact sort tier.
+    """
+
+    def __init__(self, params, db_hashes: np.ndarray, s: int,
+                 chunk_len: int = 1 << 20, d_tile: int | None = None,
+                 c_win: int | None = None):
+        from mash_tpu.ops import pallas_screen as ps
+
+        self.ps = ps
+        self.D = d_tile or ps.D_TILE
+        self.C = c_win or ps.G_WIN
+        self.db_np = np.asarray(db_hashes, np.uint64)
+        H = len(self.db_np)
+        (
+            self.dbh,
+            self.dbl,
+            self.tile_min,
+            self.tile_max,
+            self.H_pad,
+        ) = ps.prepare_db_planes(self.db_np, self.D)
+        self.H = H
+        self.s = s
+        self.params = params
+        self.chunk_len = chunk_len
+        # batch ~H/2 hashes per count pass (cost model: window C=2*D
+        # per tile with margin), within a 32-chunk memory cap
+        self.K = int(min(32, max(1, H // (2 * chunk_len))))
+        self.counts = jnp.zeros(self.H_pad, dtype=jnp.int32)
+        self.pending = []
+        self._preps = {}
+        self._sent_valid = jnp.zeros((), dtype=jnp.int32)
+        self._db_dev64 = None  # lazy, only for the fallback tier
+        self._fallbacks = 0
+
+    def _prep_fn(self, length: int):
+        fn = self._preps.get(length)
+        if fn is not None:
+            return fn
+        chunk_len = self.chunk_len
+
+        @jax.jit
+        def prep(h, v):
+            hm = jnp.where(v, h, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            sent = jnp.sum(
+                v & (h == jnp.uint64(0xFFFFFFFFFFFFFFFF)),
+                dtype=jnp.int32,
+            )
+            if hm.shape[0] < chunk_len:
+                hm = jnp.concatenate(
+                    [
+                        hm,
+                        jnp.full(
+                            chunk_len - hm.shape[0],
+                            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                        ),
+                    ]
+                )
+            return hm, sent
+
+        self._preps[length] = prep
+        return prep
+
+    def add(self, h, v) -> None:
+        """Queue one hashed chunk (device arrays from hash_chunk)."""
+        hm, sent = self._prep_fn(int(h.shape[0]))(h, v)
+        self._sent_valid = self._sent_valid + sent
+        self.pending.append(hm)
+        if len(self.pending) >= self.K:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self.pending:
+            return
+        pad_rows = self.K - len(self.pending)
+        full = jnp.full(
+            self.chunk_len, jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        )
+        batch = jnp.sort(
+            jnp.concatenate(self.pending + [full] * pad_rows)
+        )
+        new_counts, ok = self.ps.count_batch(
+            batch,
+            self.dbh,
+            self.dbl,
+            self.tile_min,
+            self.tile_max,
+            self.counts,
+            self.D,
+            self.C,
+        )
+        if bool(ok):
+            self.counts = new_counts
+        else:  # certificate failed: exact fallback on this batch
+            self._fallbacks += 1
+            if self._db_dev64 is None:
+                dbp = np.full(
+                    self.H_pad, np.uint64(0xFFFFFFFFFFFFFFFF)
+                )
+                dbp[: self.H] = self.db_np
+                self._db_dev64 = jnp.asarray(dbp)
+            valid = batch != jnp.uint64(0xFFFFFFFFFFFFFFFF)
+            self.counts = count_db_occurrences(
+                batch, valid, self._db_dev64, self.counts
+            )
+        self.pending = []
+
+    def finalize(self) -> np.ndarray:
+        self.flush()
+        out = np.asarray(self.counts)[: self.H].astype(np.uint32)
+        if self.H and self.db_np[-1] == np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        ):
+            # a real DB hash equal to the masking sentinel is counted
+            # separately (masked lanes share its value in the batch)
+            out[-1] = np.uint32(int(self._sent_valid))
+        return out
+
+
 def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
     """Device-count-aware screen fold.
 
@@ -196,6 +327,12 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
     """
     H = len(db_hashes)
     n_dev = len(jax.devices())
+    if (
+        n_dev == 1
+        and H > BIG_DB_MIN
+        and jax.default_backend() == "tpu"
+    ):
+        return make_screen_fold_bigdb(params, db_hashes, s)
     if n_dev > 1 and H > 0:
         from mash_tpu.parallel import mesh as pmesh
 
@@ -227,6 +364,63 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
 
     def finalize(counts):
         return np.asarray(counts)[:H]
+
+    return fold, counts0, finalize
+
+
+def make_screen_fold_bigdb(params, db_hashes: np.ndarray, s: int,
+                           chunk_len: int = 1 << 20):
+    """Big-DB screen fold: batched Pallas counting + per-chunk state.
+
+    Same ``(fold, counts0, finalize)`` contract as the other variants;
+    the counts value threaded through ``fold`` is a placeholder — the
+    :class:`BigDBCounter` holds the real accumulator and ``finalize``
+    drains it.
+    """
+    from mash_tpu.ops.kmers import alphabet_bytes
+
+    counter = BigDBCounter(params, db_hashes, s, chunk_len)
+    alpha = alphabet_bytes(params.alphabet)
+    hash_fns = {}
+
+    def _hash_fn(length: int):
+        fn = hash_fns.get(length)
+        if fn is not None:
+            return fn
+
+        @jax.jit
+        def hf(chunk, state_h, state_c):
+            h, v = hash_chunk(
+                chunk,
+                alphabet=alpha,
+                k=params.kmer_size,
+                seed=params.seed,
+                use64=params.use64,
+                noncanonical=params.noncanonical,
+                preserve_case=params.preserve_case,
+            )
+            sh, sc = sketch_ops.sketch_chunk_batch(
+                h[None], v[None], s=s, use64=params.use64
+            )
+            nh, nc = sketch_ops.merge_states(
+                (state_h, state_c), (sh[0], sc[0]), s=s
+            )
+            return h, v, nh, nc
+
+        hash_fns[length] = hf
+        return hf
+
+    def fold(counts, state, chunk):
+        h, v, sh, sc = _hash_fn(int(chunk.shape[0]))(
+            chunk, state[0], state[1]
+        )
+        counter.add(h, v)
+        return counts, (sh, sc)
+
+    counts0 = jnp.zeros(0, dtype=jnp.uint32)
+
+    def finalize(_counts):
+        return counter.finalize()
 
     return fold, counts0, finalize
 

@@ -31,49 +31,63 @@
 extern "C" {
 
 // ---------------------------------------------------------------------------
-// Simple Bloom filter (double hashing over splitmix64).
-// Matches the reference's *semantics* for -b mode (bounded memory, unique
-// k-mers suppressed, copies capped at 2); the bit layout is not identical
-// to the vendored filter the reference uses, so -b sketches are
-// approximate-equal, as that mode inherently is.
+// Bit-compatible -b Bloom filter.
+//
+// The reference feeds Arash Partow's "Open Bloom Filter" the degenerate
+// parameters projected=1e9, fpp=0, maximum_size=memoryBound*8
+// (src/mash/MinHashHeap.cpp:25-41).  With fpp=0 the optimizer's
+// table-size formula evaluates to -inf for every k
+// (bloom_filter.hpp:107-156: log(1-0^(1/k)) == 0), so min_k stays 1 and
+// the (unsigned long long)(-inf) cast yields 2^63 on x86 (cvttsd2si
+// out-of-range), which the max clamp brings down to memoryBound*8.
+// Net effect: ONE hash function over a memoryBound*8-bit table.  The
+// single salt is predef_salt[0] mixed with itself and the fixed seed
+// (bloom_filter.hpp:494-509: salt*salt + (uint32)((0xA5A5A5A55A5A5A5A *
+// 0xA5A5A5A5) + 1)), and the probe is Partow's hash_ap over the 8 (or
+// 4) little-endian key bytes with bit = (hash % table_size), bit
+// position index%8 within byte index/8 (compute_indices,
+// hpp:441-445).  All reimplemented here from that analysis — byte
+// layout identical, so -b sketches byte-match the reference.
 // ---------------------------------------------------------------------------
 
 struct Bloom {
-    std::vector<uint64_t> bits;
-    uint64_t nbits;
-    int k;
+    std::vector<uint8_t> bits;
+    uint64_t table_size;
+    uint32_t salt;
+    bool use64;
 
-    explicit Bloom(uint64_t max_bytes) {
-        nbits = max_bytes * 8ull;
-        if (nbits < 64) nbits = 64;
-        bits.assign((nbits + 63) / 64, 0);
-        // optimal k for ~1e9 projected elements, clamped to [1, 16]
-        double kk = (double)nbits / 1e9 * 0.6931471805599453;
-        k = (int)(kk + 0.5);
-        if (k < 1) k = 1;
-        if (k > 16) k = 16;
+    explicit Bloom(uint64_t max_bytes, bool use64_) : use64(use64_) {
+        table_size = max_bytes * 8ull;
+        if (table_size < 1) table_size = 1;
+        bits.assign((table_size + 7) / 8, 0);
+        uint64_t seed = 0xA5A5A5A55A5A5A5Aull * 0xA5A5A5A5ull + 1ull;
+        uint32_t s0 = 0xAAAAAAAAu;
+        salt = s0 * s0 + (uint32_t)seed;
     }
 
-    static inline uint64_t mix(uint64_t x) {
-        x += 0x9e3779b97f4a7c15ull;
-        x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
-        x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
-        return x ^ (x >> 31);
+    inline uint32_t hash_ap(uint64_t key) const {
+        uint32_t h = salt;
+        if (use64) {
+            // one >=8-byte loop iteration: i1 = low word, i2 = high
+            uint32_t i1 = (uint32_t)key;
+            uint32_t i2 = (uint32_t)(key >> 32);
+            h ^= (h << 7) ^ (i1 * (h >> 3)) ^
+                 (~((h << 11) + (i2 ^ (h >> 5))));
+        } else {
+            // 4-byte tail, loop parity 0
+            uint32_t i = (uint32_t)key;
+            h ^= ~((h << 11) + (i ^ (h >> 5)));
+        }
+        return h;
     }
 
     bool contains_or_insert(uint64_t h, bool insert_if_absent) {
-        uint64_t h1 = mix(h);
-        uint64_t h2 = mix(h1 ^ 0xd6e8feb86659fd93ull) | 1ull;
-        bool all = true;
-        for (int i = 0; i < k; i++) {
-            uint64_t pos = (h1 + (uint64_t)i * h2) % nbits;
-            uint64_t word = pos >> 6, bit = 1ull << (pos & 63);
-            if (!(bits[word] & bit)) {
-                all = false;
-                if (insert_if_absent) bits[word] |= bit;
-            }
-        }
-        return all;
+        uint64_t bit_index = hash_ap(h) % table_size;
+        uint64_t byte = bit_index / 8;
+        uint8_t mask = (uint8_t)(1u << (bit_index % 8));
+        if (bits[byte] & mask) return true;
+        if (insert_if_absent) bits[byte] |= mask;
+        return false;
     }
 };
 
@@ -92,9 +106,10 @@ struct ExactHeap {
     Bloom* bloom;
     uint64_t kmers_total, kmers_used;
 
-    ExactHeap(uint64_t cap_, uint32_t min_cov_, uint64_t bloom_bytes)
+    ExactHeap(uint64_t cap_, uint32_t min_cov_, uint64_t bloom_bytes,
+              bool use64)
         : cap(cap_), min_cov(min_cov_), multiplicity_sum(0),
-          bloom(bloom_bytes ? new Bloom(bloom_bytes) : nullptr),
+          bloom(bloom_bytes ? new Bloom(bloom_bytes, use64) : nullptr),
           kmers_total(0), kmers_used(0) {
         counts.reserve(cap_ * 2);
     }
@@ -159,8 +174,20 @@ struct ExactHeap {
 };
 
 void* mash_heap_create(uint64_t cap, uint32_t min_cov,
-                       uint64_t bloom_bytes) {
-    return new ExactHeap(cap, min_cov, bloom_bytes);
+                       uint64_t bloom_bytes, int use64) {
+    return new ExactHeap(cap, min_cov, bloom_bytes, use64 != 0);
+}
+
+// Bare Bloom hooks for differential tests against the Partow oracle.
+void* mash_bloom_create(uint64_t max_bytes, int use64) {
+    return new Bloom(max_bytes, use64 != 0);
+}
+void mash_bloom_destroy(void* b) { delete (Bloom*)b; }
+int mash_bloom_contains(void* b, uint64_t h) {
+    return ((Bloom*)b)->contains_or_insert(h, false) ? 1 : 0;
+}
+void mash_bloom_insert(void* b, uint64_t h) {
+    ((Bloom*)b)->contains_or_insert(h, true);
 }
 
 void mash_heap_destroy(void* h) { delete (ExactHeap*)h; }

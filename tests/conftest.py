@@ -1,24 +1,34 @@
-"""Test configuration: force a virtual 8-device CPU platform.
+"""Test configuration: virtual 8-device CPU mesh by default, real TPU
+on request.
 
-Multi-chip sharding is validated on a virtual CPU mesh
-(``xla_force_host_platform_device_count``) since tests may run without TPU
-hardware.  Must run before jax initializes its backends.
+Default: force a CPU platform with 8 virtual devices
+(``xla_force_host_platform_device_count``) so multi-chip sharding is
+exercised without hardware.  Set ``MASH_TPU_TEST_TPU=1`` to run the
+suite against the real chip instead (single device, Pallas kernels
+compiled by Mosaic rather than interpret mode) — the TPU CI mode; see
+``.claude/skills/verify/SKILL.md``.  Must run before jax initializes
+its backends.
 """
 
 import os
 
-# Force CPU regardless of the ambient platform (a sitecustomize hook may
-# pin JAX_PLATFORMS to a TPU plugin; tests must not depend on hardware).
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+TPU_MODE = os.environ.get("MASH_TPU_TEST_TPU", "") == "1"
+
+if not TPU_MODE:
+    # Force CPU regardless of the ambient platform (a sitecustomize
+    # hook may pin JAX_PLATFORMS to a TPU plugin; tests must not depend
+    # on hardware).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib  # noqa: E402
 

@@ -1,0 +1,90 @@
+"""Big-DB screen counting tier (Pallas windowed count) parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mash_tpu.core.params import default_nucleotide_params
+from mash_tpu.ops import screen_ops
+from mash_tpu.ops.screen_ops import BigDBCounter, count_db_occurrences
+
+SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _expected_counts(db, chunks):
+    from collections import Counter
+
+    c = Counter()
+    for h, v in chunks:
+        for x in h[v]:
+            c[int(x)] += 1
+    return np.array([c.get(int(x), 0) for x in db], dtype=np.uint32)
+
+
+@pytest.mark.parametrize("with_sentinel_db", [False, True])
+def test_bigdb_counter_matches_reference(with_sentinel_db):
+    rng = np.random.default_rng(23)
+    H = 2000
+    db = np.unique(
+        rng.integers(0, 2**63, size=H, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    if with_sentinel_db:
+        db = np.unique(np.concatenate([db, [SENT]]))
+
+    chunk_len = 1 << 12
+    chunks = []
+    for i in range(5):
+        n = chunk_len if i < 3 else chunk_len // 2
+        h = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(
+            np.uint64
+        )
+        # plant db values (with repeats)
+        take = rng.choice(len(db), size=n // 4)
+        h[: n // 4] = db[take]
+        if with_sentinel_db:
+            h[n // 4 : n // 4 + 7] = SENT
+        rng.shuffle(h)
+        v = rng.random(n) < 0.8
+        chunks.append((h, v))
+
+    params = default_nucleotide_params()
+    counter = BigDBCounter(
+        params, db, s=100, chunk_len=chunk_len, d_tile=64, c_win=256
+    )
+    for h, v in chunks:
+        counter.add(jnp.asarray(h), jnp.asarray(v))
+    got = counter.finalize()
+
+    exp = _expected_counts(db, chunks)
+    np.testing.assert_array_equal(got, exp)
+    assert counter._fallbacks == 0
+
+
+def test_bigdb_counter_certificate_fallback():
+    """Skewed (non-uniform) hashes break window coverage -> fallback."""
+    rng = np.random.default_rng(5)
+    H = 1024
+    db = np.unique(
+        rng.integers(0, 1000, size=H, dtype=np.int64).astype(np.uint64)
+    )
+    chunk_len = 1 << 12
+    # all chunk values inside the tiny db range: every tile's window
+    # would need the whole batch
+    h = rng.integers(0, 1000, size=chunk_len, dtype=np.int64).astype(
+        np.uint64
+    )
+    v = np.ones(chunk_len, dtype=bool)
+
+    params = default_nucleotide_params()
+    counter = BigDBCounter(
+        params, db, s=100, chunk_len=chunk_len, d_tile=64, c_win=128
+    )
+    counter.add(jnp.asarray(h), jnp.asarray(v))
+    got = counter.finalize()
+    exp = _expected_counts(db, [(h, v)])
+    np.testing.assert_array_equal(got, exp)
+    assert counter._fallbacks >= 1

@@ -60,7 +60,10 @@ def main(argv=None) -> int:
 
     command = commands[argv[0]]()
     try:
+        from mash_tpu.parallel.multihost import maybe_init_distributed
         from mash_tpu.utils import maybe_trace, stage
+
+        maybe_init_distributed()
 
         with maybe_trace(), stage("command:%s" % argv[0]):
             return command.parse(argv[1:])

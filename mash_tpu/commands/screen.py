@@ -225,13 +225,29 @@ class CommandScreen(Command):
         )
         state = sketch_ops.empty_state(s)
 
-        records = read_fastx_multi(self.arguments[1:], round_robin=True)
+        from mash_tpu.parallel import multihost as mh
+
+        distributed = mh.process_count() > 1
+        input_files = self.arguments[1:]
+        if distributed:
+            # shard the mixture across hosts; counts are plain per-hash
+            # totals and the cardinality state merges associatively, so
+            # cross-host reduction at the end is exact
+            input_files = mh.shard_paths(input_files)
+
+        records = read_fastx_multi(input_files, round_robin=True)
         # record length gate: translated mode packs by nucleotide length
         # >= k, matching l >= kmerSize in the reference (the translated
         # k-mer needs 3k bases, but the gate is on bases, as there).
         counts, state, saw_any = stream_fold(
             fold, counts, state, records, k, trans
         )
+
+        if distributed:
+            state = mh.merge_states_across_hosts(state, s)
+            _c, _t, saw_any = mh.reduce_meta_across_hosts(
+                0, 0, saw_any
+            )
 
         if not saw_any:
             err.write("\nERROR: Did not find sequence records in inputs\n")
@@ -247,6 +263,10 @@ class CommandScreen(Command):
 
         err.write("Summing shared...\n")
         counts_host = finalize_counts(counts)
+        if distributed:
+            counts_host = mh.sum_counts_across_hosts(counts_host)
+            if mh.process_index() != 0:
+                return 0  # rank 0 formats/writes the report
         min_cov = 1
         shared, depths = screen_ops.tally_shared(
             counts_host, seg_starts, ref_ids, len(refs), min_cov

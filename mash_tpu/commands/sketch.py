@@ -158,6 +158,11 @@ class CommandSketch(Command):
         if not has_suffix(prefix, suffix):
             prefix += suffix
 
+        from mash_tpu.parallel.multihost import process_index
+
+        if process_index() != 0:
+            return 0  # every host holds the merged state; rank 0 writes
+
         sys.stderr.write("Writing to %s...\n" % prefix)
         capnp_msh.write_msh(
             prefix,

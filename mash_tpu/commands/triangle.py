@@ -117,6 +117,7 @@ class CommandTriangle(Command):
         ``CommandTriangle.cpp:131-198``).  Returns the max p-value.
         """
         from mash_tpu.native import DistFormatter
+        from mash_tpu.parallel import multihost as mh
 
         n = len(refs)
         k = sketch.params.kmer_size
@@ -129,8 +130,15 @@ class CommandTriangle(Command):
         pvalue_peak = 0.0
         saw_zero_common = False
 
+        # multi-host: each process computes and emits only its stripes
+        # (round-robin row-block ownership; concatenate host outputs in
+        # stripe order to assemble the full matrix)
+        stripe_filter = (
+            mh.owns_stripe if mh.process_count() > 1 else None
+        )
         for i0, stripe in stream_pair_stripes(
-            H, N, H, N, cap, use64=sketch.params.use64, triangle=True
+            H, N, H, N, cap, use64=sketch.params.use64, triangle=True,
+            stripe_filter=stripe_filter,
         ):
             rows = stripe.shape[0]
             i1 = min(i0 + rows, n)
@@ -206,7 +214,7 @@ class CommandTriangle(Command):
                         fmt.phylip_cells(stripe[r, :i]).decode("ascii")
                     )
                     out.write("\n")
-        return pvalue_peak
+        return mh.max_across_hosts(pvalue_peak)
 
     def run(self) -> int:
         if len(self.arguments) < 1 or self.get_option("help").active:

@@ -341,12 +341,56 @@ def init_from_reads(
     params: SketchParams,
     engine: Optional[SketchEngine] = None,
 ) -> SketchSet:
-    """Reads mode: one pooled sketch over all files (``initFromReads``)."""
+    """Reads mode: one pooled sketch over all files (``initFromReads``).
+
+    Under a multi-process runtime the file list is sharded round-robin
+    across hosts and the per-host bottom-s states merge exactly (the
+    fold is associative); every host ends with the identical pooled
+    sketch.
+    """
+    from mash_tpu.parallel import multihost as mh
+
     if engine is None:
         engine = SketchEngine(params)
     sketch_set = SketchSet(params)
     first_name = files[0] if files and files[0] != "-" else ""
-    if _fast_ingest_ok(params, files):
+    distributed = mh.process_count() > 1
+    local_files = mh.shard_paths(files) if distributed else files
+    if distributed and not needs_exact_streaming(params):
+        s = params.sketch_size
+        if local_files and _fast_ingest_ok(params, local_files):
+            ref, state, count, skipped = _sketch_reads_fast(
+                engine, local_files, first_name
+            )
+        elif local_files:
+            records = read_fastx_multi(local_files, round_robin=True)
+            ref, state, count, skipped = _sketch_concat(
+                engine, records, first_name, is_stdin=False
+            )
+        else:
+            state = engine.empty_state()
+            ref, count, skipped = None, 0, False
+        state = mh.merge_states_across_hosts(state, s)
+        count, _tl, skipped = mh.reduce_meta_across_hosts(
+            count, 0, skipped
+        )
+        if params.genome_size != 0:
+            total_len = params.genome_size
+        else:
+            total_len = int(engine.estimate_set_size(state))
+        comment = ref.comment if ref is not None else ""
+        if ref is not None and count > 1 and ref.comment:
+            # re-wrap with the global record count
+            base = ref.comment
+            if base.startswith("[") and "] " in base:
+                base = base.split("] ", 1)[1]
+            if base.endswith(" [...]"):
+                base = base[: -len(" [...]")]
+            comment = "[%d seqs] %s [...]" % (count, base)
+        ref = engine.state_to_ref(
+            state, first_name, comment, total_len
+        )
+    elif _fast_ingest_ok(params, files):
         ref, state, count, skipped = _sketch_reads_fast(
             engine, files, first_name
         )

@@ -288,6 +288,7 @@ def stream_pair_stripes(
     row_block: int | None = None,
     tile_r: int | None = None,
     triangle: bool = False,
+    stripe_filter=None,
 ):
     """Stream packed (common | denom<<16) stripes with bounded memory.
 
@@ -382,6 +383,11 @@ def stream_pair_stripes(
 
     pend = None
     for i0 in range(0, nq, row_block):
+        if stripe_filter is not None and not stripe_filter(
+            i0, row_block
+        ):
+            # stripe owned by another host (multi-host row sharding)
+            continue
         item = dispatch(i0)
         if pend is not None:
             yield materialize(pend)

@@ -221,9 +221,13 @@ class BigDBCounter:
         self.s = s
         self.params = params
         self.chunk_len = chunk_len
-        # batch ~H/2 hashes per count pass (cost model: window C=2*D
-        # per tile with margin), within a 32-chunk memory cap
-        self.K = int(min(32, max(1, H // (2 * chunk_len))))
+        # Batch so the average per-tile slice fills ~half the guaranteed
+        # G-element window slack: n_batch*D/H ~ G/2 -> n_batch ~ H*G/(2D)
+        # = H (with G = 2D), clamped to a 64-chunk (512 MiB) memory cap.
+        # Undersized batches waste window compares on empty lanes.
+        self.K = int(
+            min(64, max(1, (H * self.C) // (2 * self.D * chunk_len)))
+        )
         self.counts = jnp.zeros(self.H_pad, dtype=jnp.int32)
         self.pending = []
         self._preps = {}

@@ -1,0 +1,139 @@
+"""Multi-host (multi-process) execution over DCN + ICI.
+
+The reference is strictly single-node (pthreads only; SURVEY §5), so
+this layer is the TPU-native extension: N hosts, each driving its local
+devices, coordinated by ``jax.distributed``.  The design keeps all
+cross-host communication to tiny, associative merges:
+
+- **sketch** (reads mode / pooled): input files are sharded across
+  hosts (``shard_paths``); each host folds its shard through its local
+  device mesh; the per-host bottom-s states (s * 12 bytes) are
+  all-gathered and folded — exact, because the bottom-s fold is
+  associative and commutative.
+- **screen**: same input sharding; per-host DB-occurrence count vectors
+  are summed across hosts (counts are plain per-hash totals); the
+  cardinality state merges like sketch states.
+- **triangle / dist**: row stripes are statically owned round-robin by
+  process index (``owns_stripe``); each host computes and emits only
+  its stripes, so output sharding needs no communication at all
+  (concatenate per-host outputs in stripe order).
+
+Launch: run the same CLI on every host with
+
+    MASH_TPU_COORDINATOR=host0:8476
+    MASH_TPU_NUM_PROCESSES=N
+    MASH_TPU_PROCESS_ID=<0..N-1>
+
+(or under standard TPU-pod orchestration where
+``jax.distributed.initialize()`` auto-detects).  Single-process runs
+are the degenerate case of every helper here, which is how the driver
+dry-runs this code path on a virtual mesh.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize ``jax.distributed`` from the environment (idempotent).
+
+    Returns True if a multi-process runtime was (or already is)
+    initialized; False for plain single-process runs.
+    """
+    import jax
+
+    coord = os.environ.get("MASH_TPU_COORDINATOR")
+    if not coord:
+        return False
+    n = int(os.environ["MASH_TPU_NUM_PROCESSES"])
+    pid = int(os.environ["MASH_TPU_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord, num_processes=n, process_id=pid
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return True
+
+
+def process_count() -> int:
+    import jax
+
+    return jax.process_count()
+
+
+def process_index() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def shard_paths(paths: Sequence[str]) -> List[str]:
+    """This host's round-robin shard of the input files."""
+    return list(paths)[process_index() :: process_count()]
+
+
+def merge_states_across_hosts(state, s: int):
+    """Exact cross-host merge of per-host bottom-s sketch states.
+
+    All-gathers the tiny per-host states and folds them locally; every
+    host ends with the identical global state (deterministic: the fold
+    is order-free).
+    """
+    if process_count() == 1:
+        return state
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    from mash_tpu.ops import sketch_ops
+
+    gh = multihost_utils.process_allgather(np.asarray(state[0]))
+    gc = multihost_utils.process_allgather(np.asarray(state[1]))
+    return sketch_ops.tree_merge(
+        jnp.asarray(gh), jnp.asarray(gc), s=s
+    )
+
+
+def sum_counts_across_hosts(counts: np.ndarray) -> np.ndarray:
+    """Sum per-host screen count vectors (host numpy in, numpy out)."""
+    if process_count() == 1:
+        return counts
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(np.asarray(counts))
+    return g.sum(axis=0).astype(counts.dtype)
+
+
+def reduce_meta_across_hosts(count: int, total_len: int,
+                             skipped: bool) -> tuple:
+    """Sum record-count metadata for pooled (reads-mode) sketching."""
+    if process_count() == 1:
+        return count, total_len, skipped
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(
+        np.array([count, total_len, int(skipped)], dtype=np.int64)
+    )
+    tot = g.sum(axis=0)
+    return int(tot[0]), int(tot[1]), bool(tot[2])
+
+
+def owns_stripe(i0: int, row_block: int) -> bool:
+    """Static round-robin stripe ownership for triangle/dist output."""
+    return (i0 // row_block) % process_count() == process_index()
+
+
+def max_across_hosts(x: float) -> float:
+    """Global max of a per-host scalar (e.g. triangle's peak p-value)."""
+    if process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(
+        np.array([x], dtype=np.float64)
+    )
+    return float(g.max())

@@ -97,6 +97,66 @@ def bench_end_to_end():
     return best
 
 
+def bench_screen_bigdb(H=10_000_000, iters=2):
+    """Big-DB counting tier rate (hashes/s through BigDBCounter)."""
+    import jax
+    import jax.numpy as jnp
+    from mash_tpu.core.params import default_nucleotide_params
+    from mash_tpu.ops.screen_ops import BigDBCounter
+
+    rng = np.random.default_rng(2)
+    db = np.unique(
+        rng.integers(0, 2**63, size=H, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    counter = BigDBCounter(default_nucleotide_params(), db, s=1000)
+    n = 1 << 20
+    h = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(
+        np.uint64
+    )
+    h[: n // 4] = db[rng.choice(len(db), size=n // 4)]
+    hd = jnp.asarray(h)
+    vd = jnp.asarray(np.ones(n, dtype=bool))
+    counter.add(hd, vd)
+    counter.flush()
+    jax.block_until_ready(counter.counts)  # compile
+    nch = iters * counter.K
+    t0 = time.perf_counter()
+    for _ in range(nch):
+        counter.add(hd, vd)
+    counter.flush()
+    jax.block_until_ready(counter.counts)
+    dt = time.perf_counter() - t0
+    assert counter._fallbacks == 0
+    return nch * n / dt
+
+
+def bench_triangle(n=8192, s=1000):
+    """Ranked streamed-triangle rate (lower-triangle pairs/s)."""
+    from mash_tpu.ops.distance import stream_pair_stripes
+
+    rng = np.random.default_rng(4)
+    H = np.sort(
+        rng.integers(0, 2**62, size=(n, s), dtype=np.int64).astype(
+            np.uint64
+        ),
+        axis=1,
+    )
+    sizes = np.full(n, s, dtype=np.int32)
+    t0 = time.perf_counter()
+    cells = 0
+    for i0, stripe in stream_pair_stripes(
+        H, sizes, H, sizes, cap=s, use64=True, triangle=True
+    ):
+        rows = stripe.shape[0]
+        i1 = min(i0 + rows, n)
+        for r in range(max(i0, 1) - i0, i1 - i0):
+            cells += i0 + r
+    dt = time.perf_counter() - t0
+    return cells / dt
+
+
 def bench_screen(db_size=2048, chunk_len=1 << 20, iters=8):
     import jax
     import jax.numpy as jnp
@@ -210,6 +270,8 @@ def main():
     pair_rate = bench_pairwise()
     screen_rate = bench_screen()
     e2e_rate = bench_end_to_end()
+    bigdb_rate = bench_screen_bigdb()
+    tri_rate = bench_triangle()
     result = {
         "metric": "sketch_bases_per_sec",
         "value": round(sketch_rate, 1),
@@ -229,6 +291,14 @@ def main():
             "screen_bases_per_sec": round(screen_rate, 1),
             "screen_vs_baseline": round(
                 screen_rate / base["screen_bases_per_sec"], 3
+            ),
+            "screen_bigdb_1e7_hashes_per_sec": round(bigdb_rate, 1),
+            "screen_bigdb_vs_baseline": round(
+                bigdb_rate / base["screen_bases_per_sec"], 3
+            ),
+            "triangle_ranked_pairs_per_sec": round(tri_rate, 1),
+            "triangle_vs_baseline": round(
+                tri_rate / base["pairwise_pairs_per_sec"], 3
             ),
             "baseline_cpu_single_core": base,
             "platform": platform,

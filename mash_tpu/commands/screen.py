@@ -27,7 +27,12 @@ from mash_tpu.io.fastx import read_fastx_multi
 from mash_tpu.io.formatting import cpp_double
 from mash_tpu.ops import screen_ops, sketch_ops
 
-_BUCKETS = (1 << 14, 1 << 17, 1 << 20)
+# Two pad buckets only (tiny inputs / full chunks): every bucket shape
+# costs a full XLA compile of the screen fold on a cold cache, and a
+# typical stream uses one size anyway — a mid-size tail chunk padding
+# up to 1 MiB wastes far less than a third compile
+# (compile-latency budget, round-2).
+_BUCKETS = (1 << 14, 1 << 20)
 
 
 def _packed_chunks(records, k: int, chunk_len: int) -> Iterator[bytes]:

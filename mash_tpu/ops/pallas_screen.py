@@ -43,11 +43,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# DB tile height and window granularity (elements).  G must be a
-# multiple of 1024 (8 sublanes x 128 lanes) on real TPUs; D a multiple
-# of 8.  Each grid step compares a [D, 1] db block against a 2G-element
-# window.
-D_TILE = 512
+# DB tile height and window granularity (elements).  Both must be
+# multiples of 1024 (8 sublanes x 128 lanes) on real TPUs so every
+# block is (8m, 128)-shaped.  Each grid step compares a D-hash db tile
+# against a 2G-element window of the sorted batch.
+D_TILE = 1024
 G_WIN = 1024
 LANES = 128
 
@@ -65,21 +65,25 @@ def _split_planes(x):
     return hi, lo
 
 
-def _make_count_kernel(rows: int):
+def _make_count_kernel(rows: int, db_rows: int):
     def kernel(offs_ref, dbh_ref, dbl_ref, wh0_ref, wl0_ref,
                wh1_ref, wl1_ref, out_ref):
-        dh = dbh_ref[:]  # [D, 1]
-        dl = dbl_ref[:]
-        acc = jnp.zeros(dh.shape, dtype=jnp.int32)
-        for w_h, w_l in ((wh0_ref, wl0_ref), (wh1_ref, wl1_ref)):
-            for r in range(rows):  # static unroll over subrows
-                eq = (dh == w_h[r : r + 1, :]) & (
-                    dl == w_l[r : r + 1, :]
-                )  # [D, LANES]
-                acc = acc + jnp.sum(
-                    eq, axis=1, dtype=jnp.int32
-                )[:, None]
-        out_ref[:] = acc
+        # db tile arrives in the natural [db_rows, 128] layout (a
+        # [D, 1] HBM layout would lane-pad 128x); each 128-lane subrow
+        # is transposed to sublane-major for the cross broadcast
+        for dr in range(db_rows):
+            dh = jnp.transpose(dbh_ref[dr : dr + 1, :])  # [128, 1]
+            dl = jnp.transpose(dbl_ref[dr : dr + 1, :])
+            acc = jnp.zeros(dh.shape, dtype=jnp.int32)
+            for w_h, w_l in ((wh0_ref, wl0_ref), (wh1_ref, wl1_ref)):
+                for r in range(rows):  # static unroll over subrows
+                    eq = (dh == w_h[r : r + 1, :]) & (
+                        dl == w_l[r : r + 1, :]
+                    )  # [128, LANES]
+                    acc = acc + jnp.sum(
+                        eq, axis=1, dtype=jnp.int32
+                    )[:, None]
+            out_ref[dr : dr + 1, :] = jnp.transpose(acc)
 
     return kernel
 
@@ -88,7 +92,10 @@ def _make_count_kernel(rows: int):
 def _build_count(T: int, n_rows: int, D: int, G: int,
                  interpret: bool):
     rows = G // LANES
-    db_spec = pl.BlockSpec((D, 1), lambda t, offs: (t, _I0))
+    db_rows = D // LANES
+    db_spec = pl.BlockSpec(
+        (db_rows, LANES), lambda t, offs: (t, _I0)
+    )
     w0 = pl.BlockSpec((rows, LANES), lambda t, offs: (offs[t], _I0))
     w1 = pl.BlockSpec(
         (rows, LANES), lambda t, offs: (offs[t] + 1, _I0)
@@ -97,12 +104,14 @@ def _build_count(T: int, n_rows: int, D: int, G: int,
         num_scalar_prefetch=1,
         grid=(T,),
         in_specs=[db_spec, db_spec, w0, w0, w1, w1],
-        out_specs=pl.BlockSpec((D, 1), lambda t, offs: (t, _I0)),
+        out_specs=pl.BlockSpec(
+            (db_rows, LANES), lambda t, offs: (t, _I0)
+        ),
     )
     return pl.pallas_call(
-        _make_count_kernel(rows),
+        _make_count_kernel(rows, db_rows),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T * D, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((T * db_rows, LANES), jnp.int32),
         interpret=interpret,
     )
 
@@ -156,8 +165,8 @@ def prepare_db_planes(db_hashes: np.ndarray, D: int = D_TILE):
     dbd = jnp.asarray(dbp)
     hi, lo = _split_planes(dbd)
     return (
-        hi[:, None],
-        lo[:, None],
+        hi.reshape(H_pad // LANES, LANES),
+        lo.reshape(H_pad // LANES, LANES),
         jnp.asarray(tile_min),
         jnp.asarray(tile_max),
         H_pad,
@@ -175,7 +184,7 @@ def count_batch(
     (counts, ok): if ``ok`` is False the result must be discarded and
     the batch recounted via the fallback tier.
     """
-    T = dbh.shape[0] // D
+    T = dbh.shape[0] * LANES // D
     offs, ok = _window_offsets(
         batch_sorted, tile_min, tile_max, T=T, G=G
     )
@@ -189,4 +198,4 @@ def count_batch(
     add = call(offs, dbh, dbl, whr, wlr, whr, wlr)
     # DB pad entries are sentinels: they match masked batch lanes, but
     # their counts land in pad slots the caller strips.
-    return counts + add[:, 0].astype(counts.dtype), ok
+    return counts + add.reshape(-1).astype(counts.dtype), ok

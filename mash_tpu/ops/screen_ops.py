@@ -221,12 +221,17 @@ class BigDBCounter:
         self.s = s
         self.params = params
         self.chunk_len = chunk_len
-        # Batch so the average per-tile slice fills ~half the guaranteed
-        # G-element window slack: n_batch*D/H ~ G/2 -> n_batch ~ H*G/(2D)
-        # = H (with G = 2D), clamped to a 64-chunk (512 MiB) memory cap.
-        # Undersized batches waste window compares on empty lanes.
+        # Batch so the average per-tile slice fills ~75% of the
+        # guaranteed G-element window slack (mean + >8 sigma below the
+        # certificate bound for Poisson-distributed slices), clamped to
+        # a 96-chunk (768 MiB) memory cap.  Undersized batches waste
+        # window compares on empty lanes; oversized ones trip the
+        # certificate.
         self.K = int(
-            min(64, max(1, (H * self.C) // (2 * self.D * chunk_len)))
+            min(
+                96,
+                max(1, (3 * H * self.C) // (4 * self.D * chunk_len)),
+            )
         )
         self.counts = jnp.zeros(self.H_pad, dtype=jnp.int32)
         self.pending = []

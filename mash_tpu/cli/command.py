@@ -9,7 +9,7 @@ suffix handling (``Command.cpp:93-155``) and range validation.
 
 from __future__ import annotations
 
-import shutil
+import os
 import sys
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional
@@ -392,19 +392,23 @@ class Command:
     # -- help ---------------------------------------------------------------
 
     def print_help(self) -> None:
+        """Help text with the reference's column renderer
+        (``Command::print``, ``Command.cpp:202-309``)."""
         out = sys.stdout
         out.write("\nVersion: %s\n" % COMPAT_VERSION)
         out.write("\nUsage:\n\n")
-        out.write(
-            "  mash %s [options] %s\n\n" % (self.name, self.argument_string)
+        print_columns(
+            out,
+            [["mash %s [options] %s" % (self.name, self.argument_string)]],
         )
         out.write("Description:\n\n")
-        width = shutil.get_terminal_size((80, 24)).columns
-        out.write(_wrap(self.description, width, indent=2) + "\n\n")
+        print_columns(out, [[self.description]])
         if not self.options:
             return
         out.write("Options:\n\n")
-        # group by category order
+        col_opt = ["Option"]
+        col_desc = ["Description (range) [default]"]
+        dividers: List = []
         names_by_cat: Dict[str, List[str]] = {}
         for name, opt in self.options.items():
             names_by_cat.setdefault(opt.category, []).append(name)
@@ -413,7 +417,7 @@ class Command:
             if not names:
                 continue
             if cat:
-                out.write("...%s...\n\n" % display)
+                dividers.append((len(col_opt), "...%s..." % display))
             for name in names:
                 opt = self.options[name]
                 left = "-" + opt.identifier
@@ -440,21 +444,75 @@ class Command:
                         )
                 if opt.argument_default:
                     desc += " [%s]" % opt.argument_default
-                out.write(
-                    "   %-12s %s\n\n"
-                    % (left, _wrap(desc, width, indent=16, first=False))
-                )
+                col_opt.append(left)
+                col_desc.append(desc)
+        print_columns(out, [col_opt, col_desc], dividers)
 
 
-def _wrap(text: str, width: int, indent: int = 0, first: bool = True) -> str:
-    import textwrap
+def print_columns(
+    out,
+    columns: List[List[str]],
+    dividers=(),
+    indent: int = 2,
+    spacing: int = 2,
+    missing: str = "-",
+    maxw: int = 80,
+) -> None:
+    """The reference's terminal column renderer
+    (``printColumns``, ``Command.cpp:416-539``): per-row columns with
+    space-backtracking word wrap at the column offset, column advance
+    gated by ``cols - 5``, empty cells rendered as ``missing``, and a
+    blank line after every row.  Width is the terminal's, capped at
+    ``maxw`` (off-tty the reference reads an uninitialized winsize;
+    here the cap applies)."""
+    try:
+        cols = os.get_terminal_size(0).columns
+    except OSError:
+        cols = maxw
+    if maxw and maxw < cols:
+        cols = maxw
 
-    w = max(width - indent, 20)
-    lines = textwrap.wrap(text, w) or [""]
-    pad = " " * indent
-    head = (pad if first else "") + lines[0]
-    rest = "".join("\n" + pad + ln for ln in lines[1:])
-    return head + rest
+    length_maxes = [
+        max((len(s) or 1) for s in col) for col in columns
+    ]
+    div_i = 0
+    for i in range(len(columns[0])):
+        offset = 0
+        offset_target = indent
+        if div_i < len(dividers) and i == dividers[div_i][0]:
+            out.write(dividers[div_i][1] + "\n\n")
+            div_i += 1
+        for j, col in enumerate(columns):
+            if offset_target > offset:
+                out.write(" " * (offset_target - offset))
+            text = col[i] if col[i] else missing
+            index = 0
+            while True:
+                length = len(text) - index
+                if length + offset_target > cols:
+                    length = cols - offset_target
+                    while length > 0 and text[index + length] != " ":
+                        length -= 1
+                if length == 0:
+                    length = cols - offset_target
+                if length <= 0:  # degenerate terminal; avoid looping
+                    length = len(text) - index
+                if index > 0:
+                    out.write("\n" + " " * offset_target)
+                out.write(text[index : index + length])
+                index += length
+                while index < len(text) and text[index] == " ":
+                    index += 1
+                if index >= len(text):
+                    break
+            offset = offset_target + len(col[i])
+            if offset_target + length_maxes[j] + spacing > cols - 5:
+                if j < len(columns) - 1:
+                    out.write("\n")
+                offset = 0
+            else:
+                offset_target += length_maxes[j] + spacing
+        out.write("\n\n")
 
 
 def split_file(path: str) -> List[str]:

@@ -94,6 +94,40 @@ def stream_fold(fold, counts, state, records, k, trans, chunk_len=1 << 20):
     return counts, state, saw_any
 
 
+# Inputs at least this large stream through the native ingest pipeline
+# (non-translated screens only; the reference's record-per-chunk packing
+# and the pipeline's k-1-overlap rows count every k-mer window exactly
+# once either way, so counts and cardinality are unchanged).
+FAST_INGEST_MIN_BYTES = 4 << 20
+
+
+def stream_fold_fast(fold, counts, state, files, k, params,
+                     chunk_len=1 << 20, batch_rows=8):
+    """Overlapped-ingest drive of a screen fold (raw or packed rows)."""
+    import jax
+
+    from mash_tpu.io.ingest import IngestPipeline
+    from mash_tpu.ops.kmers import unpack_chunks
+
+    pack = 0
+    if params.alphabet_string() == "ACGT":
+        pack = 2 if params.preserve_case else 1
+    pipe = IngestPipeline(
+        files, k, chunk_len, batch_rows, pack_mode=pack
+    )
+    unpack = (
+        jax.jit(lambda b: unpack_chunks(b, chunk_len)) if pack else None
+    )
+    for batch in pipe.batches():
+        dev = jax.device_put(batch)
+        if unpack is not None:
+            dev = unpack(dev)
+        for r in range(batch_rows):
+            counts, state = fold(counts, state, dev[r])
+    saw_any = any(m.count > 0 for m in pipe.metas)
+    return counts, state, saw_any
+
+
 def _pad_to_bucket(chunk: bytes, chunk_len: int) -> bytes:
     for b in _BUCKETS:
         if len(chunk) <= b:
@@ -240,13 +274,34 @@ class CommandScreen(Command):
             # cross-host reduction at the end is exact
             input_files = mh.shard_paths(input_files)
 
-        records = read_fastx_multi(input_files, round_robin=True)
-        # record length gate: translated mode packs by nucleotide length
-        # >= k, matching l >= kmerSize in the reference (the translated
-        # k-mer needs 3k bases, but the gate is on bases, as there).
-        counts, state, saw_any = stream_fold(
-            fold, counts, state, records, k, trans
-        )
+        use_fast = False
+        if not trans and input_files and all(
+            p != "-" for p in input_files
+        ):
+            from mash_tpu.io.ingest import ingest_available
+
+            try:
+                import os
+
+                total = sum(os.path.getsize(p) for p in input_files)
+            except OSError:
+                total = 0
+            use_fast = (
+                total >= FAST_INGEST_MIN_BYTES and ingest_available()
+            )
+        if use_fast:
+            counts, state, saw_any = stream_fold_fast(
+                fold, counts, state, input_files, k, params
+            )
+        else:
+            records = read_fastx_multi(input_files, round_robin=True)
+            # record length gate: translated mode packs by nucleotide
+            # length >= k, matching l >= kmerSize in the reference (the
+            # translated k-mer needs 3k bases, but the gate is on bases,
+            # as there).
+            counts, state, saw_any = stream_fold(
+                fold, counts, state, records, k, trans
+            )
 
         if distributed:
             state = mh.merge_states_across_hosts(state, s)

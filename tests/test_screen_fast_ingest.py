@@ -1,0 +1,89 @@
+"""Fast-ingest screen streaming parity with the record-path fold."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mash_tpu.commands.screen import stream_fold, stream_fold_fast
+from mash_tpu.core.params import default_nucleotide_params
+from mash_tpu.io.fastx import read_fastx_multi
+from mash_tpu.native import load_library
+from mash_tpu.ops import screen_ops, sketch_ops
+
+pytestmark = pytest.mark.skipif(
+    load_library() is None, reason="native library unavailable"
+)
+
+
+def _write_fastq(path, rng, n_rec, minlen=80, maxlen=250):
+    with open(path, "w") as f:
+        for i in range(n_rec):
+            ln = rng.randrange(minlen, maxlen)
+            seq = "".join(rng.choice("ACGTN") for _ in range(ln))
+            f.write("@r%d\n%s\n+\n%s\n" % (i, seq, "I" * ln))
+
+
+def test_screen_fast_ingest_matches_record_path(tmp_path):
+    rng = random.Random(13)
+    f1 = tmp_path / "a.fastq"
+    f2 = tmp_path / "b.fastq"
+    _write_fastq(str(f1), rng, 250)
+    _write_fastq(str(f2), rng, 180)
+    files = [str(f1), str(f2)]
+
+    params = default_nucleotide_params()
+    k = params.kmer_size
+    s = 200
+
+    # db seeded with hashes that actually occur in the inputs (the
+    # bottom-s state of a first pass) plus random non-occurring ones
+    fold0, counts0, _f = screen_ops.make_screen_fold_auto(
+        params, np.empty(0, np.uint64), s
+    )
+    st0 = sketch_ops.empty_state(s)
+    _c, st0, _s = stream_fold(
+        fold0, counts0, st0,
+        read_fastx_multi(files, round_robin=True), k, False,
+        chunk_len=1 << 14,
+    )
+    occurring = np.asarray(st0[0])[np.asarray(st0[1]) > 0]
+    nprg = np.random.default_rng(3)
+    db_seed = np.unique(
+        np.concatenate(
+            [
+                occurring.astype(np.uint64),
+                nprg.integers(
+                    0, 2**63, size=3000, dtype=np.int64
+                ).astype(np.uint64),
+            ]
+        )
+    )
+
+    def run(streamer):
+        fold, counts, fin = screen_ops.make_screen_fold_auto(
+            params, db_seed, s
+        )
+        state = sketch_ops.empty_state(s)
+        if streamer == "fast":
+            counts, state, saw = stream_fold_fast(
+                fold, counts, state, files, k, params,
+                chunk_len=1 << 14, batch_rows=4,
+            )
+        else:
+            records = read_fastx_multi(files, round_robin=True)
+            counts, state, saw = stream_fold(
+                fold, counts, state, records, k, False,
+                chunk_len=1 << 14,
+            )
+        assert saw
+        return fin(counts), np.asarray(state[0]), np.asarray(state[1])
+
+    c_slow, h_slow, n_slow = run("slow")
+    c_fast, h_fast, n_fast = run("fast")
+    np.testing.assert_array_equal(c_fast, c_slow)
+    np.testing.assert_array_equal(h_fast, h_slow)
+    np.testing.assert_array_equal(n_fast, n_slow)

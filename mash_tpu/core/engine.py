@@ -327,17 +327,23 @@ class SketchEngine:
     def hash_bytes(self, data: bytes):
         """Hash one buffer on device; returns host numpy (hashes, valid)."""
         with stage("engine:hash_bytes"):
-            return self._hash_bytes(data)
+            h, v = self.hash_bytes_async(data)
+            return np.asarray(h), np.asarray(v)
 
-    def _hash_bytes(self, data: bytes):
+    def hash_bytes_async(self, data: bytes):
+        """Dispatch hashing of one buffer; returns device arrays.
+
+        Lets callers double-buffer: dispatch chunk i+1 before reading
+        chunk i back (the exact-streaming path overlaps device hashing
+        with the host-side heap insertion this way).
+        """
         bucket = self._bucket(len(data))
         if len(data) < bucket:
             data = data + b"\x00" * (bucket - len(data))
         arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
         if self.device is not None:
             arr = jax.device_put(arr, self.device)
-        h, v = self._hash_fn(bucket)(arr)
-        return np.asarray(h), np.asarray(v)
+        return self._hash_fn(bucket)(arr)
 
     # -- windowed (minmer) mode --------------------------------------------
 
@@ -426,13 +432,18 @@ def sketch_records_exact(
 
     buf = bytearray()
     bounds = []  # (window_start, window_count) per record in buf
+    pending = None  # (h_dev, v_dev, bounds) — one chunk in flight
 
-    def flush():
-        nonlocal stop, count
-        if not buf:
+    def drain():
+        """Read back the in-flight chunk and stream it into the heap."""
+        nonlocal stop, count, pending
+        if pending is None:
             return
-        h, v = engine.hash_bytes(bytes(buf))
-        for start, nwin in bounds:
+        h_dev, v_dev, pbounds = pending
+        pending = None
+        h = np.asarray(h_dev)
+        v = np.asarray(v_dev)
+        for start, nwin in pbounds:
             if stop:
                 break
             count += 1
@@ -445,14 +456,27 @@ def sketch_records_exact(
                 and heap.multiplicity() >= p.target_cov
             ):
                 stop = True
+
+    def flush():
+        # double-buffer: dispatch this chunk's hashing, then drain the
+        # previous one while the device works
+        nonlocal stop, count, pending
+        if not buf:
+            drain()
+            return
+        with stage("engine:hash_bytes"):
+            h_dev, v_dev = engine.hash_bytes_async(bytes(buf))
+        nxt = (h_dev, v_dev, list(bounds))
         buf.clear()
         bounds.clear()
+        drain()
+        pending = nxt
 
     for rec in records:
         if len(rec.seq) < k:
             skipped = True
             continue
-        if count == 0 and not bounds:
+        if count == 0 and pending is None and not bounds:
             if is_stdin:
                 name = rec.name
                 comment = rec.comment or ""
@@ -471,6 +495,7 @@ def sketch_records_exact(
         bounds.append((start, len(rec.seq) - k + 1))
     if not stop:
         flush()
+        drain()
 
     if p.reads:
         if p.genome_size != 0:

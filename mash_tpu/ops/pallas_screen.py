@@ -70,20 +70,46 @@ def _make_count_kernel(rows: int, db_rows: int):
                wh1_ref, wl1_ref, out_ref):
         # db tile arrives in the natural [db_rows, 128] layout (a
         # [D, 1] HBM layout would lane-pad 128x); each 128-lane subrow
-        # is transposed to sublane-major for the cross broadcast
-        for dr in range(db_rows):
-            dh = jnp.transpose(dbh_ref[dr : dr + 1, :])  # [128, 1]
-            dl = jnp.transpose(dbl_ref[dr : dr + 1, :])
-            acc = jnp.zeros(dh.shape, dtype=jnp.int32)
-            for w_h, w_l in ((wh0_ref, wl0_ref), (wh1_ref, wl1_ref)):
-                for r in range(rows):  # static unroll over subrows
-                    eq = (dh == w_h[r : r + 1, :]) & (
-                        dl == w_l[r : r + 1, :]
-                    )  # [128, LANES]
-                    acc = acc + jnp.sum(
-                        eq, axis=1, dtype=jnp.int32
-                    )[:, None]
-            out_ref[dr : dr + 1, :] = jnp.transpose(acc)
+        # is transposed to sublane-major for the cross broadcast.
+        # Runtime while_loops (int32 counters: fori would carry an i64
+        # induction var under x64) instead of static unrolling — the
+        # unrolled form was db_rows*rows*2 compare blocks and took
+        # minutes to compile through Mosaic.
+        # hoist the lane<->sublane transposes: two on the db planes,
+        # one on the assembled output — transposes inside the loops
+        # dominated runtime in the first version
+        dbh_t = jnp.transpose(dbh_ref[:])  # [LANES, db_rows]
+        dbl_t = jnp.transpose(dbl_ref[:])
+        accs = []
+        for dr in range(db_rows):  # static: db_rows is small (8)
+            dh = dbh_t[:, dr : dr + 1]  # [LANES, 1]
+            dl = dbl_t[:, dr : dr + 1]
+
+            def r_body(carry, dh=dh, dl=dl):
+                r, acc = carry
+                eq0 = (dh == wh0_ref[pl.ds(r, 1), :]) & (
+                    dl == wl0_ref[pl.ds(r, 1), :]
+                )  # [LANES, LANES]
+                eq1 = (dh == wh1_ref[pl.ds(r, 1), :]) & (
+                    dl == wl1_ref[pl.ds(r, 1), :]
+                )
+                acc = (
+                    acc
+                    + jnp.sum(eq0, axis=1, dtype=jnp.int32)[:, None]
+                    + jnp.sum(eq1, axis=1, dtype=jnp.int32)[:, None]
+                )
+                return r + np.int32(1), acc
+
+            _, acc = jax.lax.while_loop(
+                lambda c: c[0] < np.int32(rows),
+                r_body,
+                (
+                    np.int32(0),
+                    jnp.zeros((LANES, 1), dtype=jnp.int32),
+                ),
+            )
+            accs.append(acc)
+        out_ref[:] = jnp.transpose(jnp.concatenate(accs, axis=1))
 
     return kernel
 

@@ -97,6 +97,46 @@ def bench_end_to_end():
     return best
 
 
+def _e2e_fastq_gz(n_reads=700_000, rl=150):
+    """A cached ~105 Mbase gzipped FASTQ."""
+    import gzip
+
+    path = "/tmp/mash_tpu_bench_%dx%d.fastq.gz" % (n_reads, rl)
+    if os.path.exists(path):
+        return path, n_reads * rl
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    tmp = path + ".tmp"
+    with gzip.open(tmp, "wb", compresslevel=1) as f:
+        qual = b"I" * rl
+        for i in range(n_reads):
+            seq = rng.choice(bases, size=(rl,)).tobytes()
+            f.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, qual))
+    os.rename(tmp, path)
+    return path, n_reads * rl
+
+
+def bench_end_to_end_reads_gz():
+    """Pooled reads-mode sketch of a gzipped FASTQ (decompress +
+    parse + pack + transfer + fold; gunzip is the expected bound)."""
+    from mash_tpu.core.engine import SketchEngine
+    from mash_tpu.core.loader import _sketch_reads_fast
+    from mash_tpu.core.params import default_nucleotide_params
+
+    path, total = _e2e_fastq_gz()
+    params = default_nucleotide_params()
+    params.reads = True
+    engine = SketchEngine(params)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        ref, _st, _c, _sk = _sketch_reads_fast(engine, [path], path)
+        dt = time.perf_counter() - t0
+        assert len(ref.hashes) == 1000
+        best = max(best, total / dt)
+    return best
+
+
 def bench_screen_bigdb(H=10_000_000, iters=2):
     """Big-DB counting tier rate (hashes/s through BigDBCounter)."""
     import jax
@@ -270,6 +310,7 @@ def main():
     pair_rate = bench_pairwise()
     screen_rate = bench_screen()
     e2e_rate = bench_end_to_end()
+    e2e_gz_rate = bench_end_to_end_reads_gz()
     bigdb_rate = bench_screen_bigdb()
     tri_rate = bench_triangle()
     result = {
@@ -283,6 +324,9 @@ def main():
             "end_to_end_bases_per_sec": round(e2e_rate, 1),
             "end_to_end_vs_baseline": round(
                 e2e_rate / base["sketch_bases_per_sec"], 3
+            ),
+            "end_to_end_reads_gz_bases_per_sec": round(
+                e2e_gz_rate, 1
             ),
             "pairwise_dists_per_sec": round(pair_rate, 1),
             "pairwise_vs_baseline": round(

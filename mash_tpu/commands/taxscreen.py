@@ -206,10 +206,35 @@ class CommandTaxScreen(Command):
         )
         state = sketch_ops.empty_state(s)
 
-        records = read_fastx_multi(self.arguments[1:], round_robin=True)
-        counts_dev, state, saw_any = stream_fold(
-            fold, counts_dev, state, records, k, trans
-        )
+        input_files = self.arguments[1:]
+        use_fast = False
+        if not trans and input_files and all(
+            p != "-" for p in input_files
+        ):
+            import os
+
+            from mash_tpu.commands.screen import (
+                FAST_INGEST_MIN_BYTES,
+                stream_fold_fast,
+            )
+            from mash_tpu.io.ingest import ingest_available
+
+            try:
+                total = sum(os.path.getsize(p) for p in input_files)
+            except OSError:
+                total = 0
+            use_fast = (
+                total >= FAST_INGEST_MIN_BYTES and ingest_available()
+            )
+        if use_fast:
+            counts_dev, state, saw_any = stream_fold_fast(
+                fold, counts_dev, state, input_files, k, params
+            )
+        else:
+            records = read_fastx_multi(input_files, round_robin=True)
+            counts_dev, state, saw_any = stream_fold(
+                fold, counts_dev, state, records, k, trans
+            )
         if not saw_any:
             err.write("\nERROR: Did not find sequence records in inputs\n")
             raise SystemExit(1)

@@ -211,8 +211,6 @@ class CommandTaxScreen(Command):
         if not trans and input_files and all(
             p != "-" for p in input_files
         ):
-            import os
-
             from mash_tpu.commands.screen import (
                 FAST_INGEST_MIN_BYTES,
                 stream_fold_fast,

@@ -520,6 +520,110 @@ def sketch_records_exact(
     return ref, heap, count, skipped
 
 
+def sketch_records_individual(
+    engine: SketchEngine,
+    records,
+    rows: int = 16,
+    wave_bytes: int = 64 << 20,
+):
+    """Yield one SketchRef per record (len >= k), batched on device.
+
+    The reference's individual mode parallelizes per sequence
+    (``sketchFileBySequence``, ``Sketch.cpp:354``); here records of the
+    same pad bucket are stacked ``rows`` per dispatch — one device
+    round trip per batch instead of per record.  Records are buffered
+    in waves of at most ``wave_bytes`` so output order is preserved
+    with bounded memory; records longer than the engine chunk length
+    fall back to the chunked per-record fold.
+    """
+    import jax.numpy as jnp
+
+    p = engine.params
+    k = p.kmer_size
+    s = p.sketch_size
+
+    def batch_fn(bucket):
+        key = ("indiv", bucket, rows)
+        if key in engine._folds:
+            return engine._folds[key]
+        batch_op = engine._batch_op()
+
+        @jax.jit
+        def fn(chunks):
+            return batch_op(
+                chunks,
+                alphabet=engine._alpha,
+                k=p.kmer_size,
+                seed=p.seed,
+                use64=p.use64,
+                noncanonical=p.noncanonical,
+                preserve_case=p.preserve_case,
+                s=s,
+            )
+
+        engine._folds[key] = fn
+        return fn
+
+    def make_ref(rec, h, c):
+        n = int((c > 0).sum())
+        return SketchRef(
+            name=rec.name,
+            comment=rec.comment or "",
+            length=len(rec.seq),
+            hashes=h[:n].astype(np.uint64),
+            counts=c[:n].astype(np.uint32),
+            counts_sorted=True,
+        )
+
+    wave = []
+    wave_sz = 0
+
+    def flush():
+        nonlocal wave, wave_sz
+        results = {}
+        by_bucket = {}
+        for i, rec in wave:
+            if len(rec.seq) > engine.chunk_len:
+                state = engine.sketch_seqs([rec.seq])
+                results[i] = make_ref(
+                    rec, np.asarray(state[0]), np.asarray(state[1])
+                )
+            else:
+                b = engine._bucket(len(rec.seq))
+                by_bucket.setdefault(b, []).append((i, rec))
+        for b, items in by_bucket.items():
+            fn = batch_fn(b)
+            for g0 in range(0, len(items), rows):
+                grp = items[g0 : g0 + rows]
+                arr = np.zeros((rows, b), dtype=np.uint8)
+                for r, (_i, rec) in enumerate(grp):
+                    arr[r, : len(rec.seq)] = np.frombuffer(
+                        rec.seq, dtype=np.uint8
+                    )
+                with stage("engine:indiv_batch"):
+                    dev = jax.device_put(arr, engine.device)
+                    sh, sc = fn(dev)
+                    sh = np.asarray(sh)
+                    sc = np.asarray(sc)
+                for r, (i, rec) in enumerate(grp):
+                    results[i] = make_ref(rec, sh[r], sc[r])
+        for i in sorted(results):
+            yield results[i]
+        wave = []
+        wave_sz = 0
+
+    idx = 0
+    for rec in records:
+        if len(rec.seq) < k:
+            continue
+        wave.append((idx, rec))
+        wave_sz += len(rec.seq)
+        idx += 1
+        if wave_sz >= wave_bytes:
+            yield from flush()
+    yield from flush()
+
+
 def sketch_records_concat(
     engine: SketchEngine,
     records,

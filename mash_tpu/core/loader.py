@@ -276,6 +276,22 @@ def init_from_files(
                 # (``sketchFileBySequence`` + ``sketchSequence``)
                 any_record = False
                 exact = needs_exact_streaming(params)
+                if not params.windowed and not exact:
+                    # batched device path: rows of same-bucket records
+                    # per dispatch instead of one round trip each
+                    from mash_tpu.core.engine import (
+                        sketch_records_individual,
+                    )
+
+                    for ref in sketch_records_individual(
+                        engine, read_fastx(path)
+                    ):
+                        any_record = True
+                        sketch_set.add(ref)
+                    if not any_record:
+                        err.write("\nERROR: reading %s.\n" % path)
+                        raise SystemExit(1)
+                    continue
                 for rec in read_fastx(path):
                     if len(rec.seq) < params.kmer_size:
                         continue
@@ -318,16 +334,6 @@ def init_from_files(
                                 hashes=hh,
                                 counts=cc,
                                 counts_sorted=True,
-                            )
-                        )
-                    else:
-                        state = engine.sketch_seqs([rec.seq])
-                        sketch_set.add(
-                            engine.state_to_ref(
-                                state,
-                                rec.name,
-                                rec.comment or "",
-                                len(rec.seq),
                             )
                         )
                 if not any_record:

@@ -152,19 +152,22 @@ def bench_screen_bigdb(H=10_000_000, iters=2):
     )
     counter = BigDBCounter(default_nucleotide_params(), db, s=1000)
     n = 1 << 20
-    h = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(
-        np.uint64
-    )
-    h[: n // 4] = db[rng.choice(len(db), size=n // 4)]
-    hd = jnp.asarray(h)
+    ndist = 16  # cycle distinct chunks: repeating one chunk K times
+    # would inflate per-value multiplicity and trip the certificate
+    hs = rng.integers(
+        0, 2**63, size=(ndist, n), dtype=np.int64
+    ).astype(np.uint64)
+    for j in range(ndist):
+        hs[j, : n // 4] = db[rng.choice(len(db), size=n // 4)]
+    hds = [jnp.asarray(hs[j]) for j in range(ndist)]
     vd = jnp.asarray(np.ones(n, dtype=bool))
-    counter.add(hd, vd)
+    counter.add(hds[0], vd)
     counter.flush()
     jax.block_until_ready(counter.counts)  # compile
     nch = iters * counter.K
     t0 = time.perf_counter()
-    for _ in range(nch):
-        counter.add(hd, vd)
+    for i in range(nch):
+        counter.add(hds[i % ndist], vd)
     counter.flush()
     jax.block_until_ready(counter.counts)
     dt = time.perf_counter() - t0

@@ -7,29 +7,28 @@ streamed k-mer mixture.  The round-1 top tier re-sorted
 DB paying the sort cost again every chunk; at H = 1e8 that is ~seconds
 per chunk.
 
-Design here (sorted-window equality count):
-- chunks accumulate into a device batch; one sort per batch
-  (~K x 1 MiB) replaces K DB re-sorts;
-- the DB is tiled into [D]-hash blocks (static, sorted, split into
-  int32 hi/lo planes once); because both sides are sorted, the batch
-  positions that can match DB tile t form one contiguous window whose
-  start is precomputed with a searchsorted over tile boundaries (tiny:
-  H/D queries per batch);
-- a Pallas grid walks the DB tiles; each step loads its [D, 1] DB
-  block plus two consecutive [G/128, 128] blocks of the sorted batch
-  selected by a *scalar-prefetched* block offset (Mosaic requires
-  8-sublane-aligned blocks, hence the two-block window trick: a span
-  of <= G elements starting anywhere is always covered by two
-  G-aligned blocks), and counts exact 64-bit equality by broadcast
-  compare-reduce — no gather, no scatter, no DB sort;
-- a coverage certificate (every tile's matching span of *real* db
-  values lies inside its 2G window) is checked per batch; failure
-  (pathologically skewed hashes — impossible for MurmurHash-uniform
-  data) falls back to the exact sort tier, the repo's standard
-  certificate+fallback pattern.
+Design (v3, per-subrow windowed equality count):
+- chunks accumulate into a device batch; ONE sort per ~3H-hash batch
+  (TPU u64 sort measured at 2.8 ns/elem) replaces per-chunk DB sorts;
+- the DB is tiled into D-hash grid steps ([D/128, 128] natural-layout
+  int32 hi/lo planes; a [H, 1] layout would lane-pad 128x).  Because
+  both sides are sorted, the batch positions matching each 128-value
+  db SUBROW form one contiguous span; per-subrow window row offsets
+  are precomputed with one searchsorted over subrow bounds (8T
+  queries/batch) and scalar-prefetched;
+- each grid step loads two consecutive [WBLK, 128] blocks of the
+  sorted batch (the two-block trick covers any span with guaranteed
+  WBLK-row slack) and, per db subrow, compares only RW rows around its
+  span — the compare volume tracks the data density instead of the
+  whole tile window (~2.7x fewer compares than a tile-level window,
+  and ~4x larger batches for the same certificate margin);
+- certificates (every subrow span inside its RW-row window, inside the
+  2-block big window) are checked per batch; failure (pathologically
+  skewed hashes — unreachable for MurmurHash-uniform data) falls back
+  to the exact sort tier, the repo's standard pattern.
 
-Work per batch is O(H * G/D + n) compares instead of
-O((n + 2H) log(n + 2H)) sorted elements per chunk.
+Work per batch is one n-sort + O(H * RW/8) row-compares, with n ~ 3H —
+per-hash cost independent of H.
 """
 
 from __future__ import annotations
@@ -43,12 +42,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# DB tile height and window granularity (elements).  Both must be
-# multiples of 1024 (8 sublanes x 128 lanes) on real TPUs so every
-# block is (8m, 128)-shaped.  Each grid step compares a D-hash db tile
-# against a 2G-element window of the sorted batch.
+# D_TILE db hashes per grid step as [D/128, 128]; the big window is two
+# [WBLK, 128] blocks of the sorted batch; each 128-hash db subrow
+# compares against RW rows starting at its prefetched offset.
+# Constraints: D_TILE % 128 == 0; WBLK % 8 == 0; RW <= WBLK.  Sizing
+# couples to the batch target (screen_ops.BigDBCounter): the whole
+# TILE's span plus up-to-WBLK-row misalignment must fit the 2*WBLK-row
+# big window, and each subrow's span plus <=127-element misalignment
+# must fit its RW rows.
 D_TILE = 1024
-G_WIN = 1024
+WBLK = 16
+RW = 4
 LANES = 128
 
 _I0 = np.int32(0)
@@ -65,43 +69,46 @@ def _split_planes(x):
     return hi, lo
 
 
-def _make_count_kernel(rows: int, db_rows: int):
-    def kernel(offs_ref, dbh_ref, dbl_ref, wh0_ref, wl0_ref,
+def _make_count_kernel(db_rows: int, wblk: int, rw: int):
+    def kernel(blk_ref, rsub_ref, dbh_ref, dbl_ref, wh0_ref, wl0_ref,
                wh1_ref, wl1_ref, out_ref):
-        # db tile arrives in the natural [db_rows, 128] layout (a
-        # [D, 1] HBM layout would lane-pad 128x); each 128-lane subrow
-        # is transposed to sublane-major for the cross broadcast.
-        # Runtime while_loops (int32 counters: fori would carry an i64
-        # induction var under x64) instead of static unrolling — the
-        # unrolled form was db_rows*rows*2 compare blocks and took
-        # minutes to compile through Mosaic.
-        # hoist the lane<->sublane transposes: two on the db planes,
-        # one on the assembled output — transposes inside the loops
-        # dominated runtime in the first version
+        t = pl.program_id(0)
+        # hoisted lane<->sublane transposes (expensive inside loops)
         dbh_t = jnp.transpose(dbh_ref[:])  # [LANES, db_rows]
         dbl_t = jnp.transpose(dbl_ref[:])
         accs = []
-        for dr in range(db_rows):  # static: db_rows is small (8)
+        for dr in range(db_rows):  # static: db_rows is small
             dh = dbh_t[:, dr : dr + 1]  # [LANES, 1]
             dl = dbl_t[:, dr : dr + 1]
+            # rsub is flat [T*db_rows] (a 2D SMEM array would be
+            # lane-padded 16x past the SMEM budget)
+            rs = rsub_ref[t * np.int32(db_rows) + np.int32(dr)]
 
-            def r_body(carry, dh=dh, dl=dl):
+            def r_body(carry, dh=dh, dl=dl, rs=rs):
                 r, acc = carry
-                eq0 = (dh == wh0_ref[pl.ds(r, 1), :]) & (
-                    dl == wl0_ref[pl.ds(r, 1), :]
-                )  # [LANES, LANES]
-                eq1 = (dh == wh1_ref[pl.ds(r, 1), :]) & (
-                    dl == wl1_ref[pl.ds(r, 1), :]
-                )
-                acc = (
-                    acc
-                    + jnp.sum(eq0, axis=1, dtype=jnp.int32)[:, None]
-                    + jnp.sum(eq1, axis=1, dtype=jnp.int32)[:, None]
-                )
+                row = rs + r
+                # the RW-row window may span the two big-window blocks;
+                # read the candidate row from both and select
+                in0 = row < np.int32(wblk)
+                h0 = wh0_ref[
+                    pl.ds(jnp.minimum(row, np.int32(wblk - 1)), 1), :
+                ]
+                l0 = wl0_ref[
+                    pl.ds(jnp.minimum(row, np.int32(wblk - 1)), 1), :
+                ]
+                r1 = jnp.maximum(row - np.int32(wblk), np.int32(0))
+                h1 = wh1_ref[pl.ds(r1, 1), :]
+                l1 = wl1_ref[pl.ds(r1, 1), :]
+                wh = jnp.where(in0, h0, h1)
+                wl = jnp.where(in0, l0, l1)
+                eq = (dh == wh) & (dl == wl)  # [LANES, LANES]
+                acc = acc + jnp.sum(eq, axis=1, dtype=jnp.int32)[
+                    :, None
+                ]
                 return r + np.int32(1), acc
 
             _, acc = jax.lax.while_loop(
-                lambda c: c[0] < np.int32(rows),
+                lambda c: c[0] < np.int32(rw),
                 r_body,
                 (
                     np.int32(0),
@@ -115,59 +122,76 @@ def _make_count_kernel(rows: int, db_rows: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_count(T: int, n_rows: int, D: int, G: int,
+def _build_count(T: int, n_rows: int, D: int, wblk: int, rw: int,
                  interpret: bool):
-    rows = G // LANES
     db_rows = D // LANES
     db_spec = pl.BlockSpec(
-        (db_rows, LANES), lambda t, offs: (t, _I0)
+        (db_rows, LANES), lambda t, blk, rsub: (t, _I0)
     )
-    w0 = pl.BlockSpec((rows, LANES), lambda t, offs: (offs[t], _I0))
+    w0 = pl.BlockSpec(
+        (wblk, LANES), lambda t, blk, rsub: (blk[t], _I0)
+    )
     w1 = pl.BlockSpec(
-        (rows, LANES), lambda t, offs: (offs[t] + 1, _I0)
+        (wblk, LANES), lambda t, blk, rsub: (blk[t] + 1, _I0)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(T,),
         in_specs=[db_spec, db_spec, w0, w0, w1, w1],
         out_specs=pl.BlockSpec(
-            (db_rows, LANES), lambda t, offs: (t, _I0)
+            (db_rows, LANES), lambda t, blk, rsub: (t, _I0)
         ),
     )
     return pl.pallas_call(
-        _make_count_kernel(rows, db_rows),
+        _make_count_kernel(db_rows, wblk, rw),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T * db_rows, LANES), jnp.int32),
         interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("T", "G"))
-def _window_offsets(batch_sorted, tile_min, tile_max, *, T, G):
-    """Per-tile window block offsets + coverage certificate.
+@functools.partial(
+    jax.jit, static_argnames=("T", "D", "wblk", "rw")
+)
+def _window_offsets(batch_sorted, sub_min, sub_max, *, T, D, wblk, rw):
+    """Per-tile big-window block + per-subrow row offsets + certificate.
 
-    ``offs[t]`` is the G-aligned block index of the sorted batch from
-    which DB tile t's 2G-element window starts; ``ok`` certifies every
-    tile's matching span lies inside its window.
+    ``blk[t]`` indexes the first of two WBLK-row batch blocks;
+    ``rs[t, dr]`` is db subrow dr's RW-row window start relative to the
+    big window; ``ok`` certifies every subrow's matching span lies in
+    its window (and hence in the big window).
     """
+    db_rows = D // LANES
     n = batch_sorted.shape[0]
-    n_blocks = n // G
-    left = jnp.searchsorted(batch_sorted, tile_min, side="left")
-    right = jnp.searchsorted(batch_sorted, tile_max, side="right")
-    offs = jnp.clip(
-        (left // G).astype(jnp.int32), 0, max(n_blocks - 2, 0)
+    wsz = wblk * LANES
+    n_blocks = n // wsz
+    left = jnp.searchsorted(batch_sorted, sub_min, side="left")
+    right = jnp.searchsorted(batch_sorted, sub_max, side="right")
+    L = left.reshape(T, db_rows)
+    R = right.reshape(T, db_rows)
+    blk = jnp.clip(
+        (L[:, 0] // wsz).astype(jnp.int32), 0, max(n_blocks - 2, 0)
     )
-    end = (offs.astype(jnp.int64) + 2) * G
-    ok = jnp.all(right <= end) & jnp.all(
-        left >= offs.astype(jnp.int64) * G
+    base = blk.astype(jnp.int64) * wsz
+    rs = jnp.clip(
+        ((L - base[:, None]) // LANES).astype(jnp.int32),
+        0,
+        2 * wblk - rw,
     )
-    return offs, ok
+    win_start = base[:, None] + rs.astype(jnp.int64) * LANES
+    # empty spans (R <= L: pad subrows with 0/0 bounds, or subrows no
+    # batch value falls into) have nothing to count — any window is
+    # fine for them and they must not fail the certificate
+    nonempty = R > L
+    covered = (R <= win_start + rw * LANES) & (L >= win_start)
+    ok = jnp.all(jnp.where(nonempty, covered, True))
+    return blk, rs, ok
 
 
 def prepare_db_planes(db_hashes: np.ndarray, D: int = D_TILE):
-    """Host-side one-time prep: pad DB to tiles, split planes, bounds.
+    """Host-side one-time prep: pad DB, split planes, subrow bounds.
 
-    Returns (dbh, dbl, tile_min, tile_max, H_pad) as device arrays.
+    Returns (dbh, dbl, sub_min, sub_max, H_pad) as device arrays.
     A real DB hash equal to the 2^64-1 sentinel must be handled by the
     caller (it would also match masked batch lanes).
     """
@@ -176,52 +200,51 @@ def prepare_db_planes(db_hashes: np.ndarray, D: int = D_TILE):
     H_pad = T * D
     dbp = np.full(H_pad, SENTINEL, dtype=np.uint64)
     dbp[:H] = db_hashes
-    tile_min = dbp[::D].copy()
-    # The window span certificate must cover only *real* (non-sentinel)
-    # db values: sentinel pads (and a real 2^64-1 db hash, counted
-    # separately by the caller) would drag every boundary tile's
-    # "right" rank across the batch's masked-lane sentinel run and
-    # fail the certificate spuriously.
-    tiles = dbp.reshape(T, D)
-    real = tiles != SENTINEL
-    tile_max = np.where(real, tiles, np.uint64(0)).max(axis=1)
+    # Span bounds per 128-value subrow, over *real* values only:
+    # sentinel pads (and a real 2^64-1 db hash, counted separately by
+    # the caller) would drag boundary spans across the batch's
+    # masked-lane sentinel run and fail the certificate spuriously.
+    subs = dbp.reshape(H_pad // LANES, LANES)
+    real = subs != SENTINEL
+    sub_min = subs[:, 0].copy()
+    sub_max = np.where(real, subs, np.uint64(0)).max(axis=1)
     none = ~real.any(axis=1)
-    tile_min[none] = 0
-    tile_max[none] = 0
+    sub_min[none] = 0
+    sub_max[none] = 0
     dbd = jnp.asarray(dbp)
     hi, lo = _split_planes(dbd)
     return (
         hi.reshape(H_pad // LANES, LANES),
         lo.reshape(H_pad // LANES, LANES),
-        jnp.asarray(tile_min),
-        jnp.asarray(tile_max),
+        jnp.asarray(sub_min),
+        jnp.asarray(sub_max),
         H_pad,
     )
 
 
 def count_batch(
-    batch_sorted, dbh, dbl, tile_min, tile_max, counts,
-    D: int = D_TILE, G: int = G_WIN,
+    batch_sorted, dbh, dbl, sub_min, sub_max, counts,
+    D: int = D_TILE, wblk: int = WBLK, rw: int = RW,
 ):
     """Count DB-hash occurrences in one sorted batch; add to counts.
 
     ``batch_sorted`` is uint64 [n] ascending with masked lanes at the
-    top as 2^64-1 sentinels; n must be a multiple of G.  Returns
+    top as 2^64-1 sentinels; n must be a multiple of wblk*128.  Returns
     (counts, ok): if ``ok`` is False the result must be discarded and
     the batch recounted via the fallback tier.
     """
     T = dbh.shape[0] * LANES // D
-    offs, ok = _window_offsets(
-        batch_sorted, tile_min, tile_max, T=T, G=G
+    blk, rs, ok = _window_offsets(
+        batch_sorted, sub_min, sub_max, T=T, D=D, wblk=wblk, rw=rw
     )
     wh, wl = _split_planes(batch_sorted)
     n_rows = batch_sorted.shape[0] // LANES
     call = _build_count(
-        T, n_rows, D, G, jax.default_backend() != "tpu"
+        T, n_rows, D, wblk, rw, jax.default_backend() != "tpu"
     )
     whr = wh.reshape(n_rows, LANES)
     wlr = wl.reshape(n_rows, LANES)
-    add = call(offs, dbh, dbl, whr, wlr, whr, wlr)
+    add = call(blk, rs.reshape(-1), dbh, dbl, whr, wlr, whr, wlr)
     # DB pad entries are sentinels: they match masked batch lanes, but
     # their counts land in pad slots the caller strips.
     return counts + add.reshape(-1).astype(counts.dtype), ok

@@ -202,37 +202,41 @@ class BigDBCounter:
 
     def __init__(self, params, db_hashes: np.ndarray, s: int,
                  chunk_len: int = 1 << 20, d_tile: int | None = None,
-                 c_win: int | None = None):
+                 wblk: int | None = None, rw: int | None = None):
         from mash_tpu.ops import pallas_screen as ps
 
         self.ps = ps
         self.D = d_tile or ps.D_TILE
-        self.C = c_win or ps.G_WIN
+        self.wblk = wblk or ps.WBLK
+        self.rw = rw or ps.RW
         self.db_np = np.asarray(db_hashes, np.uint64)
         H = len(self.db_np)
         (
             self.dbh,
             self.dbl,
-            self.tile_min,
-            self.tile_max,
+            self.sub_min,
+            self.sub_max,
             self.H_pad,
         ) = ps.prepare_db_planes(self.db_np, self.D)
         self.H = H
         self.s = s
         self.params = params
         self.chunk_len = chunk_len
-        # Batch so the average per-tile slice fills ~75% of the
-        # guaranteed G-element window slack (mean + >8 sigma below the
-        # certificate bound for Poisson-distributed slices), clamped to
-        # a 96-chunk (768 MiB) memory cap.  Undersized batches waste
-        # window compares on empty lanes; oversized ones trip the
-        # certificate.
+        # Batch so the average 128-hash subrow slice fills ~half its
+        # RW-row window after worst-case 127-element misalignment
+        # (mean + >6 sigma below the certificate bound for Poisson
+        # slices): n ~ (rw*128/2 - 64) * H/128, clamped to a 192-chunk
+        # (1.5 GiB) memory cap.  Undersized batches waste window
+        # compares on empty lanes; oversized ones trip the certificate.
+        target = (self.rw * 128) // 2 - 64
         self.K = int(
-            min(
-                96,
-                max(1, (3 * H * self.C) // (4 * self.D * chunk_len)),
-            )
+            min(192, max(1, (target * H) // (128 * chunk_len)))
         )
+        # Active chunks per flush: halved whenever a batch trips the
+        # coverage certificate (high-multiplicity streams cluster
+        # values and widen spans), without changing the compiled batch
+        # shape (inactive slots pad with sentinels).
+        self.k_eff = self.K
         self.counts = jnp.zeros(self.H_pad, dtype=jnp.int32)
         self.pending = []
         self._preps = {}
@@ -273,7 +277,7 @@ class BigDBCounter:
         hm, sent = self._prep_fn(int(h.shape[0]))(h, v)
         self._sent_valid = self._sent_valid + sent
         self.pending.append(hm)
-        if len(self.pending) >= self.K:
+        if len(self.pending) >= self.k_eff:
             self.flush()
 
     def flush(self) -> None:
@@ -290,16 +294,18 @@ class BigDBCounter:
             batch,
             self.dbh,
             self.dbl,
-            self.tile_min,
-            self.tile_max,
+            self.sub_min,
+            self.sub_max,
             self.counts,
             self.D,
-            self.C,
+            self.wblk,
+            self.rw,
         )
         if bool(ok):
             self.counts = new_counts
         else:  # certificate failed: exact fallback on this batch
             self._fallbacks += 1
+            self.k_eff = max(1, self.k_eff // 2)
             if self._db_dev64 is None:
                 dbp = np.full(
                     self.H_pad, np.uint64(0xFFFFFFFFFFFFFFFF)

@@ -53,7 +53,7 @@ def test_bigdb_counter_matches_reference(with_sentinel_db):
 
     params = default_nucleotide_params()
     counter = BigDBCounter(
-        params, db, s=100, chunk_len=chunk_len, d_tile=128, c_win=256
+        params, db, s=100, chunk_len=chunk_len, d_tile=256, wblk=4, rw=4
     )
     for h, v in chunks:
         counter.add(jnp.asarray(h), jnp.asarray(v))
@@ -81,7 +81,7 @@ def test_bigdb_counter_certificate_fallback():
 
     params = default_nucleotide_params()
     counter = BigDBCounter(
-        params, db, s=100, chunk_len=chunk_len, d_tile=128, c_win=128
+        params, db, s=100, chunk_len=chunk_len, d_tile=256, wblk=2, rw=2
     )
     counter.add(jnp.asarray(h), jnp.asarray(v))
     got = counter.finalize()

@@ -55,6 +55,11 @@ WBLK = 16
 RW = 4
 LANES = 128
 
+# SMEM budget: the per-subrow offset array (T*8 int32) must fit the
+# ~1 MiB SMEM; bigger DBs run the kernel over row segments of this
+# many tiles (20000 tiles -> 640 KB of offsets + 80 KB block indices).
+MAX_SEG_TILES = 20000
+
 _I0 = np.int32(0)
 
 SENTINEL = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -80,8 +85,8 @@ def _make_count_kernel(db_rows: int, wblk: int, rw: int):
         for dr in range(db_rows):  # static: db_rows is small
             dh = dbh_t[:, dr : dr + 1]  # [LANES, 1]
             dl = dbl_t[:, dr : dr + 1]
-            # rsub is flat [T*db_rows] (a 2D SMEM array would be
-            # lane-padded 16x past the SMEM budget)
+            # rsub is flat [T*db_rows] int32 (2D SMEM arrays lane-pad
+            # 16x; RefSeq-scale T is kept in budget by segmentation)
             rs = rsub_ref[t * np.int32(db_rows) + np.int32(dr)]
 
             def r_body(carry, dh=dh, dl=dl, rs=rs):
@@ -233,18 +238,34 @@ def count_batch(
     (counts, ok): if ``ok`` is False the result must be discarded and
     the batch recounted via the fallback tier.
     """
-    T = dbh.shape[0] * LANES // D
-    blk, rs, ok = _window_offsets(
-        batch_sorted, sub_min, sub_max, T=T, D=D, wblk=wblk, rw=rw
-    )
+    T_full = dbh.shape[0] * LANES // D
+    db_rows = D // LANES
     wh, wl = _split_planes(batch_sorted)
     n_rows = batch_sorted.shape[0] // LANES
-    call = _build_count(
-        T, n_rows, D, wblk, rw, jax.default_backend() != "tpu"
-    )
     whr = wh.reshape(n_rows, LANES)
     wlr = wl.reshape(n_rows, LANES)
-    add = call(blk, rs.reshape(-1), dbh, dbl, whr, wlr, whr, wlr)
+    interpret = jax.default_backend() != "tpu"
+    adds = []
+    ok = None
+    # segment the DB so the per-tile scalar arrays fit SMEM
+    for t0 in range(0, T_full, MAX_SEG_TILES):
+        T = min(MAX_SEG_TILES, T_full - t0)
+        r0, r1 = t0 * db_rows, (t0 + T) * db_rows
+        blk, rs, seg_ok = _window_offsets(
+            batch_sorted,
+            sub_min[r0:r1],
+            sub_max[r0:r1],
+            T=T, D=D, wblk=wblk, rw=rw,
+        )
+        call = _build_count(T, n_rows, D, wblk, rw, interpret)
+        adds.append(
+            call(
+                blk, rs.reshape(-1), dbh[r0:r1], dbl[r0:r1],
+                whr, wlr, whr, wlr,
+            )
+        )
+        ok = seg_ok if ok is None else (ok & seg_ok)
+    add = jnp.concatenate(adds, axis=0) if len(adds) > 1 else adds[0]
     # DB pad entries are sentinels: they match masked batch lanes, but
     # their counts land in pad slots the caller strips.
     return counts + add.reshape(-1).astype(counts.dtype), ok

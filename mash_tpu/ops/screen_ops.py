@@ -222,13 +222,18 @@ class BigDBCounter:
         self.s = s
         self.params = params
         self.chunk_len = chunk_len
-        # Batch so the average 128-hash subrow slice fills ~half its
-        # RW-row window after worst-case 127-element misalignment
-        # (mean + >6 sigma below the certificate bound for Poisson
-        # slices): n ~ (rw*128/2 - 64) * H/128, clamped to a 192-chunk
-        # (1.5 GiB) memory cap.  Undersized batches waste window
-        # compares on empty lanes; oversized ones trip the certificate.
-        target = (self.rw * 128) // 2 - 64
+        # Batch sizing: the mean 128-hash subrow slice must stay >6
+        # sigma below BOTH certificate bounds — its own RW-row window
+        # minus worst-case 255-element (2-row-granularity) misalignment,
+        # and its 1/8 share of the tile span that must fit the big
+        # window minus up-to-WBLK-row misalignment.  Clamped to a
+        # 192-chunk (1.5 GiB) memory cap.  Undersized batches waste
+        # window compares on empty lanes; oversized ones trip the
+        # certificate (the adaptive k_eff backoff then kicks in).
+        target = min(
+            self.rw * 128 - 300, (self.wblk * 128 - 300) // 8
+        )
+        target = max(target, 16)
         self.K = int(
             min(192, max(1, (target * H) // (128 * chunk_len)))
         )

@@ -71,13 +71,19 @@ def main(argv=None) -> int:
         return 0
     except OSError as e:
         # the reference reports unreadable inputs with cerr + exit(1)
-        # (e.g. Sketch.cpp:195-199, CommandFind.cpp:131); only claim
-        # "for reading" on read-path errnos — a write-side failure
-        # (ENOSPC, EACCES on the output) gets the generic message
+        # (e.g. Sketch.cpp:195-199, CommandFind.cpp:131); claim
+        # "for reading" for the read-path errnos incl. EACCES (the
+        # common unreadable-input case) — write-side ENOSPC etc. get
+        # the generic message
         import errno
 
         name = getattr(e, "filename", None)
-        if name and e.errno in (errno.ENOENT, errno.EISDIR, errno.ENOTDIR):
+        if name and e.errno in (
+            errno.ENOENT,
+            errno.EACCES,
+            errno.EISDIR,
+            errno.ENOTDIR,
+        ):
             sys.stderr.write(
                 "ERROR: could not open %s for reading.\n" % name
             )

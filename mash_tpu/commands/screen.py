@@ -94,11 +94,11 @@ def stream_fold(fold, counts, state, records, k, trans, chunk_len=1 << 20):
     return counts, state, saw_any
 
 
-# Inputs at least this large stream through the native ingest pipeline
-# (non-translated screens only; the reference's record-per-chunk packing
-# and the pipeline's k-1-overlap rows count every k-mer window exactly
-# once either way, so counts and cardinality are unchanged).
-FAST_INGEST_MIN_BYTES = 4 << 20
+# The fast-ingest pipeline applies to non-translated screens only; the
+# reference's record-per-chunk packing and the pipeline's k-1-overlap
+# rows count every k-mer window exactly once either way, so counts and
+# cardinality are unchanged.  Size/availability gating is shared
+# (``io.ingest.fast_ingest_eligible``).
 
 
 def stream_fold_fast(fold, counts, state, files, k, params,
@@ -274,21 +274,9 @@ class CommandScreen(Command):
             # cross-host reduction at the end is exact
             input_files = mh.shard_paths(input_files)
 
-        use_fast = False
-        if not trans and input_files and all(
-            p != "-" for p in input_files
-        ):
-            from mash_tpu.io.ingest import ingest_available
+        from mash_tpu.io.ingest import fast_ingest_eligible
 
-            try:
-                import os
-
-                total = sum(os.path.getsize(p) for p in input_files)
-            except OSError:
-                total = 0
-            use_fast = (
-                total >= FAST_INGEST_MIN_BYTES and ingest_available()
-            )
+        use_fast = not trans and fast_ingest_eligible(input_files)
         if use_fast:
             counts, state, saw_any = stream_fold_fast(
                 fold, counts, state, input_files, k, params

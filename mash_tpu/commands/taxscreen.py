@@ -207,23 +207,10 @@ class CommandTaxScreen(Command):
         state = sketch_ops.empty_state(s)
 
         input_files = self.arguments[1:]
-        use_fast = False
-        if not trans and input_files and all(
-            p != "-" for p in input_files
-        ):
-            from mash_tpu.commands.screen import (
-                FAST_INGEST_MIN_BYTES,
-                stream_fold_fast,
-            )
-            from mash_tpu.io.ingest import ingest_available
+        from mash_tpu.commands.screen import stream_fold_fast
+        from mash_tpu.io.ingest import fast_ingest_eligible
 
-            try:
-                total = sum(os.path.getsize(p) for p in input_files)
-            except OSError:
-                total = 0
-            use_fast = (
-                total >= FAST_INGEST_MIN_BYTES and ingest_available()
-            )
+        use_fast = not trans and fast_ingest_eligible(input_files)
         if use_fast:
             counts_dev, state, saw_any = stream_fold_fast(
                 fold, counts_dev, state, input_files, k, params

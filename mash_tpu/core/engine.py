@@ -118,7 +118,7 @@ class SketchEngine:
         s = p.sketch_size
         chunk_len = self.chunk_len
 
-        n_dev = len(jax.devices())
+        n_dev = len(jax.local_devices())
         if self.device is None and n_dev > 1 and rows % n_dev == 0:
             from mash_tpu.parallel import mesh as pmesh
 
@@ -565,14 +565,8 @@ def sketch_records_individual(
         return fn
 
     def make_ref(rec, h, c):
-        n = int((c > 0).sum())
-        return SketchRef(
-            name=rec.name,
-            comment=rec.comment or "",
-            length=len(rec.seq),
-            hashes=h[:n].astype(np.uint64),
-            counts=c[:n].astype(np.uint32),
-            counts_sorted=True,
+        return engine.state_to_ref(
+            (h, c), rec.name, rec.comment or "", len(rec.seq)
         )
 
     wave = []

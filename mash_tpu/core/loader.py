@@ -87,15 +87,10 @@ def _sketch_concat(engine, records, file_name, is_stdin):
     return sketch_records_concat(engine, records, file_name, is_stdin)
 
 
-# Inputs at least this large take the overlapped native-ingest pipeline;
-# smaller ones stay on the bucketed record path (cheaper compiles).
-FAST_INGEST_MIN_BYTES = 4 << 20
-
-
 def _fast_batch_rows() -> int:
     import jax
 
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     rows = 32 if jax.default_backend() == "tpu" else 8
     if n_dev > 1 and rows % n_dev:
         rows = n_dev * ((rows + n_dev - 1) // n_dev)
@@ -104,19 +99,11 @@ def _fast_batch_rows() -> int:
 
 def _fast_ingest_ok(params: SketchParams, paths) -> bool:
     """Fast path preconditions: order-free fold + native parser + real files."""
+    from mash_tpu.io.ingest import fast_ingest_eligible
+
     if needs_exact_streaming(params) or params.windowed:
         return False
-    if any(p == "-" for p in paths):
-        return False
-    import os
-
-    from mash_tpu.io.ingest import ingest_available
-
-    try:
-        total = sum(os.path.getsize(p) for p in paths)
-    except OSError:
-        return False
-    return total >= FAST_INGEST_MIN_BYTES and ingest_available()
+    return fast_ingest_eligible(paths)
 
 
 def _sketch_paths_fast(engine: SketchEngine, paths: List[str]):

@@ -51,6 +51,14 @@ def read_fastx(path: str) -> Iterator[Record]:
             stream.close()
 
 
+# kseq keeps only printable non-space bytes in sequences
+# (``kseq.h:184-190``: isgraph, 33..126); everything else — newlines,
+# CR, spaces, tabs, control bytes — is dropped wherever it appears.
+_NON_GRAPH = bytes(c for c in range(256) if c < 33 or c > 126)
+# quality bytes count when in [33, 127] (``kseq.h:206-207``)
+_NON_QUAL = bytes(c for c in range(256) if c < 33 or c > 127)
+
+
 def parse_fastx(stream) -> Iterator[Record]:
     """Parse an open binary stream of FASTA or FASTQ records."""
     line = stream.readline()
@@ -64,7 +72,7 @@ def parse_fastx(stream) -> Iterator[Record]:
             parts = []
             line = stream.readline()
             while line and line[:1] not in (b">", b"@"):
-                s = line.strip()
+                s = line.translate(None, _NON_GRAPH)
                 if s:
                     parts.append(s)
                 line = stream.readline()
@@ -74,14 +82,14 @@ def parse_fastx(stream) -> Iterator[Record]:
             parts = []
             line = stream.readline()
             while line and line[:1] != b"+":
-                parts.append(line.strip())
+                parts.append(line.translate(None, _NON_GRAPH))
                 line = stream.readline()
             seq = b"".join(parts)
-            # quality: read as many bytes as the sequence
+            # quality: read as many qualifying bytes as the sequence
             qlen = 0
             line = stream.readline()
             while line and qlen < len(seq):
-                qlen += len(line.strip())
+                qlen += len(line.translate(None, _NON_QUAL))
                 line = stream.readline()
             yield _make_record(header, seq)
         else:

@@ -90,10 +90,24 @@ class IngestPipeline:
         self.metas: List[FileMeta] = []
         self._q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(depth)
         self._err: Optional[BaseException] = None
+        self._abandoned = False  # consumer dropped batches() mid-stream
         self._thread = threading.Thread(target=self._work, daemon=True)
         self._thread.start()
 
     # -- producer (background thread) ------------------------------------
+
+    def _put(self, item) -> None:
+        """Bounded put that gives up if the consumer abandoned the
+        generator (otherwise the thread and its open file would block
+        forever on a full queue)."""
+        while True:
+            if self._abandoned:
+                raise GeneratorExit
+            try:
+                self._q.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
 
     def _work(self) -> None:
         from mash_tpu.native import NativeIngest
@@ -106,12 +120,13 @@ class IngestPipeline:
             spill = np.empty((spill_cap, W), dtype=np.uint8)
             batch = np.empty((R, W), dtype=np.uint8)
             fill = 0
+            put = self._put
 
             def ship():
                 # hand the full buffer over and start a fresh one — the
                 # consumer owns shipped batches (no reuse)
                 nonlocal batch, fill
-                self._q.put(batch)
+                put(batch)
                 batch = np.empty((R, W), dtype=np.uint8)
                 fill = 0
 
@@ -158,23 +173,37 @@ class IngestPipeline:
                 )
             if fill:
                 batch[fill:] = 0
-                self._q.put(batch)
-            self._q.put(None)
+                put(batch)
+            put(None)
+        except GeneratorExit:
+            pass  # consumer abandoned the stream; just exit
         except BaseException as e:  # surfaced to the consumer
             self._err = e
-            self._q.put(None)
+            try:
+                self._put(None)
+            except GeneratorExit:
+                pass
 
     # -- consumer ---------------------------------------------------------
 
     def batches(self) -> Iterator[np.ndarray]:
-        while True:
-            b = self._q.get()
-            if b is None:
-                self._thread.join()
-                if self._err is not None:
-                    raise self._err
-                return
-            yield b
+        try:
+            while True:
+                b = self._q.get()
+                if b is None:
+                    self._thread.join()
+                    if self._err is not None:
+                        raise self._err
+                    return
+                yield b
+        finally:
+            # unblock the producer if we are abandoned mid-stream
+            self._abandoned = True
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    break
 
 
 def ingest_available() -> bool:
@@ -182,3 +211,25 @@ def ingest_available() -> bool:
     from mash_tpu.native import load_library
 
     return load_library() is not None
+
+
+# Inputs at least this large (total) take the overlapped pipeline;
+# smaller ones stay on the record paths (cheaper compiles, and the
+# golden fixtures always exercise the parity-pinned paths).
+FAST_INGEST_MIN_BYTES = 4 << 20
+
+
+def fast_ingest_eligible(paths: Sequence[str]) -> bool:
+    """Shared gate for the fast paths: real files, big enough, native
+    library present.  Callers add their own mode conditions (e.g. not
+    translated, not exact-streaming)."""
+    import os
+
+    paths = list(paths)
+    if not paths or any(p == "-" for p in paths):
+        return False
+    try:
+        total = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        return False
+    return total >= FAST_INGEST_MIN_BYTES and ingest_available()

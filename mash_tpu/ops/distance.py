@@ -308,7 +308,7 @@ def stream_pair_stripes(
         row_block = 512 if big else 32
     if tile_r is None:
         tile_r = 4096 if big else 128
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     if n_dev > 1:
         row_block = n_dev * ((row_block + n_dev - 1) // n_dev)
 
@@ -429,7 +429,7 @@ def common_denom_tiled(
     tile_q = min(tile_q, 8 * ((qry_h.shape[0] + 7) // 8))
     tile_r = min(tile_r, 8 * ((ref_h.shape[0] + 7) // 8))
 
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     if n_dev > 1:
         # shard query rows over the device mesh within each tile
         from mash_tpu.parallel import mesh as pmesh

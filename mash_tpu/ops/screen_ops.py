@@ -346,7 +346,7 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
     state is merged collectively; single-device uses the plain fold.
     """
     H = len(db_hashes)
-    n_dev = len(jax.devices())
+    n_dev = len(jax.local_devices())
     if (
         n_dev == 1
         and H > BIG_DB_MIN

@@ -38,7 +38,10 @@ AXIS = "shard"
 
 
 def default_mesh(n_devices: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+    # process-LOCAL devices: per-host folds and tiles must never
+    # build collectives over other hosts' devices (cross-host
+    # merges go through parallel.multihost instead)
+    devices = jax.local_devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (AXIS,))

@@ -56,7 +56,11 @@ def maybe_init_distributed() -> bool:
             coordinator_address=coord, num_processes=n, process_id=pid
         )
     except RuntimeError:
-        pass  # already initialized
+        # tolerate ONLY double-initialization; a real init failure
+        # (bad coordinator, port clash) must not silently degrade N
+        # hosts into N independent full runs racing on the output
+        if jax.process_count() != n:
+            raise
     return True
 
 

@@ -446,7 +446,6 @@ struct Ingest {
                  FASTQ_QUAL };
     State st = MARKER;
     bool line_start = true;
-    bool pending_cr = false;     // saw '\r'; emit unless next byte is '\n'
     bool emitted_any = false;    // any record content packed yet
 
     // current record
@@ -582,65 +581,33 @@ struct Ingest {
     }
     bool fastq_rec = false;
 
-    // Emit sequence content bytes honoring CR stripping: '\r' is dropped
-    // iff immediately followed by '\n' (kseq line-trim semantics); '\n'
-    // is always dropped (line concatenation).  Returns bytes consumed.
-    // Stops at a record-terminating marker when `stop_markers` is set
-    // (FASTA: '>'/'@' at line start; FASTQ: '+' at line start).
+    // Emit sequence content bytes with kseq's byte filter: only
+    // printable non-space characters (isgraph: 33..126) are part of a
+    // sequence (src/mash/kseq.h:184-190); newlines, CR, spaces, tabs
+    // and control bytes are dropped wherever they appear.  Returns
+    // bytes consumed; stops (without consuming) at a record marker at
+    // a line start (kseq itself ends sequences at '>'/'+'/'@' found
+    // ANYWHERE; real sequences never contain them, and line-start
+    // detection matches the Python parser).
     inline int64_t consume_seq(const uint8_t* data, int64_t n,
                                bool fasta) {
         int64_t i = 0;
         while (i < n) {
-            if (line_start) {
-                uint8_t c = data[i];
-                if (fasta ? (c == '>' || c == '@') : (c == '+')) {
-                    return i;  // caller switches state; byte unconsumed
-                }
+            uint8_t c = data[i];
+            if (line_start &&
+                (fasta ? (c == '>' || c == '@') : (c == '+'))) {
+                return i;
             }
-            // scan to next newline within the block
-            const uint8_t* nl = (const uint8_t*)memchr(
-                data + i, '\n', n - i);
-            int64_t le = nl ? (nl - data) : n;
-            int64_t ls = i;
-            if (pending_cr) {
-                // previous block ended in '\r': drop it iff this block
-                // starts with the matching '\n' (le == ls), else it was
-                // a lone CR that belongs to the sequence
-                if (le != ls) {
-                    emit_byte('\r');
-                    rec_len++;
-                }
-                pending_cr = false;
-            }
-            int64_t span = le - ls;
-            bool had_nl = nl != nullptr;
-            if (had_nl && span > 0 && data[le - 1] == '\r') span--;
-            else if (!had_nl && span > 0 && data[n - 1] == '\r') {
-                span--;
-                pending_cr = true;
-            }
-            // interior lone '\r' (not before '\n'): keep byte-exact by
-            // splitting the span at each '\r'
-            int64_t s = ls;
-            while (span > 0) {
-                const uint8_t* cr = (const uint8_t*)memchr(
-                    data + s, '\r', span);
-                if (!cr) break;
-                int64_t pre = cr - (data + s);
-                emit_span(data + s, pre);
-                emit_byte('\r');
-                rec_len += pre + 1;
-                s += pre + 1;
-                span -= pre + 1;
-            }
-            emit_span(data + s, span);
-            rec_len += span;
-            if (had_nl) {
-                i = le + 1;
-                line_start = true;
-            } else {
-                i = n;
+            if (c >= 33 && c <= 126) {
+                int64_t j = i + 1;
+                while (j < n && data[j] >= 33 && data[j] <= 126) j++;
+                emit_span(data + i, j - i);
+                rec_len += j - i;
                 line_start = false;
+                i = j;
+            } else {
+                line_start = (c == '\n');
+                i++;
             }
         }
         return n;
@@ -750,31 +717,17 @@ int64_t mash_ingest_feed(void* pv, const uint8_t* data, int64_t n,
             break;
         }
         case Ingest::FASTQ_QUAL: {
-            // count quality chars (newlines and CRs excluded) until
-            // they cover the sequence length
+            // count quality bytes in [33,127] (kseq.h:206-207) until
+            // they cover the (filtered) sequence length
             while (i < n && g.qual_count < g.rec_len) {
-                const uint8_t* nl =
-                    (const uint8_t*)memchr(data + i, '\n', n - i);
-                int64_t le = nl ? (nl - data) : n;
-                int64_t span = le - i;
-                if (span > 0 && data[le - 1] == '\r') span--;
-                int64_t need = g.rec_len - g.qual_count;
-                if (span >= need) {
-                    g.qual_count = g.rec_len;
-                    i += need;  // stop mid-line if quality is longer
-                    break;
-                }
-                g.qual_count += span;
-                i = nl ? le + 1 : n;
-                if (nl) g.line_start = true;
+                uint8_t c = data[i];
+                if (c >= 33 && c <= 127) g.qual_count++;
+                g.line_start = (c == '\n');
+                i++;
             }
             if (g.qual_count >= g.rec_len) {
                 g.end_record();
                 g.st = Ingest::MARKER;
-                // remainder of the quality line is skipped by MARKER
-                // state (it only reacts to line-start markers)
-                g.line_start = false;
-                if (i < n && data[i] == '\n') { i++; g.line_start = true; }
             }
             break;
         }
@@ -796,11 +749,6 @@ int64_t mash_ingest_finish(void* pv, uint8_t* rows_out,
     g.spill_cap = 0;
     g.spill_n = 0;
     g.overflow = false;
-    if (g.pending_cr) {
-        g.emit_byte('\r');
-        g.rec_len++;
-        g.pending_cr = false;
-    }
     if (g.st != Ingest::MARKER && g.rec_ordinal >= 0) {
         g.end_record();
         g.st = Ingest::MARKER;

@@ -32,7 +32,12 @@ def _random_fasta(rng, n_rec, maxlen=300, crlf=False, multiline=True):
             " some comment %d" % i if rng.random() < 0.5 else ""
         )
         ln = rng.randrange(0, maxlen)
-        seq = "".join(rng.choice("ACGTNacgt") for _ in range(ln))
+        # sprinkle interior whitespace/control bytes: kseq drops any
+        # non-graphic byte inside sequences, and both parsers must agree
+        seq = "".join(
+            rng.choice("ACGTNacgt ACGTN\tACGT\x01ACGT")
+            for _ in range(ln)
+        )
         eol = "\r\n" if crlf else "\n"
         out.append(">" + name + comment + eol)
         if multiline and ln > 0:
@@ -49,7 +54,9 @@ def _random_fastq(rng, n_rec, maxlen=200, crlf=False):
     eol = "\r\n" if crlf else "\n"
     for i in range(n_rec):
         ln = rng.randrange(0, maxlen)
-        seq = "".join(rng.choice("ACGTN") for _ in range(ln))
+        seq = "".join(
+            rng.choice("ACGTN ACGTN\tACGTN") for _ in range(ln)
+        )
         # quality can contain '@', '>' and '+' at line starts
         qual = "".join(
             rng.choice("@>+!IJKLMNOP") for _ in range(ln)

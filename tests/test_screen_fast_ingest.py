@@ -87,3 +87,66 @@ def test_screen_fast_ingest_matches_record_path(tmp_path):
     np.testing.assert_array_equal(c_fast, c_slow)
     np.testing.assert_array_equal(h_fast, h_slow)
     np.testing.assert_array_equal(n_fast, n_slow)
+
+
+def test_fast_ingest_with_bigdb_fold(tmp_path):
+    """The fast pipeline driving the big-DB counter fold end to end.
+
+    In production this combination only triggers on TPU with H > 256k;
+    here the big-DB fold is constructed directly (interpret-mode
+    kernel) and compared against the standard fold on the same stream.
+    """
+    rng = random.Random(41)
+    f1 = tmp_path / "a.fastq"
+    _write_fastq(str(f1), rng, 260)
+    files = [str(f1)]
+
+    params = default_nucleotide_params()
+    k = params.kmer_size
+    s = 150
+
+    fold0, counts0, fin0 = screen_ops.make_screen_fold_auto(
+        params, np.empty(0, np.uint64), s
+    )
+    st0 = sketch_ops.empty_state(s)
+    _c, st0, _s = stream_fold(
+        fold0, counts0, st0,
+        read_fastx_multi(files, round_robin=True), k, False,
+        chunk_len=1 << 14,
+    )
+    occurring = np.asarray(st0[0])[np.asarray(st0[1]) > 0]
+    nprg = np.random.default_rng(3)
+    db = np.unique(
+        np.concatenate(
+            [
+                occurring.astype(np.uint64),
+                nprg.integers(
+                    0, 2**63, size=2000, dtype=np.int64
+                ).astype(np.uint64),
+            ]
+        )
+    )
+
+    # reference counts via the standard fold on the fast stream
+    foldA, countsA, finA = screen_ops.make_screen_fold_auto(
+        params, db, s
+    )
+    stateA = sketch_ops.empty_state(s)
+    countsA, stateA, sawA = stream_fold_fast(
+        foldA, countsA, stateA, files, k, params,
+        chunk_len=1 << 14, batch_rows=4,
+    )
+
+    foldB, countsB, finB = screen_ops.make_screen_fold_bigdb(
+        params, db, s, chunk_len=1 << 14
+    )
+    stateB = sketch_ops.empty_state(s)
+    countsB, stateB, sawB = stream_fold_fast(
+        foldB, countsB, stateB, files, k, params,
+        chunk_len=1 << 14, batch_rows=4,
+    )
+    assert sawA and sawB
+    np.testing.assert_array_equal(finB(countsB), finA(countsA))
+    np.testing.assert_array_equal(
+        np.asarray(stateB[0]), np.asarray(stateA[0])
+    )

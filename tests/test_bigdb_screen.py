@@ -6,6 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+import jax
+
 from mash_tpu.core.params import default_nucleotide_params
 from mash_tpu.ops import screen_ops
 from mash_tpu.ops.screen_ops import BigDBCounter, count_db_occurrences
@@ -52,8 +54,14 @@ def test_bigdb_counter_matches_reference(with_sentinel_db):
         chunks.append((h, v))
 
     params = default_nucleotide_params()
+    # real-TPU Mosaic requires (8m, 128) blocks; interpret mode allows
+    # smaller shapes that keep CPU runs fast
+    tpu = jax.default_backend() == "tpu"
     counter = BigDBCounter(
-        params, db, s=100, chunk_len=chunk_len, d_tile=256, wblk=4, rw=4
+        params, db, s=100, chunk_len=chunk_len,
+        d_tile=1024 if tpu else 256,
+        wblk=8 if tpu else 4,
+        rw=4,
     )
     for h, v in chunks:
         counter.add(jnp.asarray(h), jnp.asarray(v))
@@ -80,8 +88,12 @@ def test_bigdb_counter_certificate_fallback():
     v = np.ones(chunk_len, dtype=bool)
 
     params = default_nucleotide_params()
+    tpu = jax.default_backend() == "tpu"
     counter = BigDBCounter(
-        params, db, s=100, chunk_len=chunk_len, d_tile=256, wblk=2, rw=2
+        params, db, s=100, chunk_len=chunk_len,
+        d_tile=1024 if tpu else 256,
+        wblk=8 if tpu else 2,
+        rw=2,
     )
     counter.add(jnp.asarray(h), jnp.asarray(v))
     got = counter.finalize()

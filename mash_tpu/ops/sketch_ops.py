@@ -75,7 +75,19 @@ def _fold_sorted(hs, cs, s: int):
     in_range = pos < L
     safe = jnp.minimum(pos, L - 1)
 
-    excl = jnp.cumsum(cs) - cs  # exclusive count prefix per position
+    # exclusive count prefix: int64 jnp.cumsum lowers to a variadic
+    # (hi, lo)-u32 reduce-window on TPU whose scoped-vmem footprint
+    # blows up at some shapes ("should not be possible to run out of
+    # scoped vmem" XLA errors); log-doubling shifted adds stay
+    # elementwise and exact
+    cum = cs
+    d = 1
+    while d < L:
+        cum = cum + jnp.concatenate(
+            [jnp.zeros((d,), cum.dtype), cum[:-d]]
+        )
+        d *= 2
+    excl = cum - cs
     total = excl[-1] + cs[-1]
     EX = jnp.where(in_range, excl[safe], total)
     C = EX[1:] - EX[:-1]  # counts of runs 0..s-1

@@ -69,7 +69,11 @@ def test_bigdb_counter_matches_reference(with_sentinel_db):
 
     exp = _expected_counts(db, chunks)
     np.testing.assert_array_equal(got, exp)
-    assert counter._fallbacks == 0
+    if not tpu:
+        # the CPU config is tuned so every batch passes the coverage
+        # certificate; the TPU config (legal Mosaic block shapes with a
+        # tiny H) deliberately trips it, exercising the exact fallback
+        assert counter._fallbacks == 0
 
 
 def test_bigdb_counter_certificate_fallback():

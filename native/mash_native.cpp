@@ -27,6 +27,9 @@
 #include <algorithm>
 #include <map>
 #include <deque>
+#if defined(__x86_64__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -487,8 +490,72 @@ struct Ingest {
     static inline uint64_t eqb(uint64_t w, uint8_t ch) {
         return zbytes(w ^ (0x0101010101010101ull * ch));
     }
+    // 0x80 set where byte < n (valid for n <= 128)
+    static inline uint64_t ltb(uint64_t x, uint8_t n) {
+        return (x - 0x0101010101010101ull * n) & ~x &
+               0x8080808080808080ull;
+    }
+    // 0x80 set where byte is NOT printable-non-space (outside [33,126])
+    static inline uint64_t nonprint(uint64_t w) {
+        return ltb(w, 33) | (w & 0x8080808080808080ull) |
+               zbytes(w ^ 0x7F7F7F7F7F7F7F7Full);
+    }
+
+#if defined(__x86_64__)
+    // AVX2 pack: 32 input bytes -> 8 code bytes + 4 mask bytes per
+    // iteration (movemask gives the validity bits directly; the
+    // maddubs/madd ladder packs 2-bit codes 4-per-byte in the same
+    // little-endian order as the scalar path below).
+    __attribute__((target("avx2")))
+    void pack_row_avx2(const uint8_t* src, uint8_t* dst) const {
+        const bool fold = pack_mode == 1;
+        uint8_t* pk = dst;
+        uint8_t* mk = dst + chunk_len / 4;
+        const __m256i case_bit = _mm256_set1_epi8(0x20);
+        const __m256i cA = _mm256_set1_epi8('A');
+        const __m256i cC = _mm256_set1_epi8('C');
+        const __m256i cG = _mm256_set1_epi8('G');
+        const __m256i cT = _mm256_set1_epi8('T');
+        const __m256i lo3 = _mm256_set1_epi8(0x03);
+        const __m256i w14 = _mm256_set1_epi16(0x0401);   // weights 1,4
+        const __m256i w116 = _mm256_set1_epi32(0x00100001);  // 1,16
+        const __m256i pick = _mm256_setr_epi8(
+            0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+            -1, 0, 4, 8, 12, -1, -1, -1, -1, -1, -1, -1, -1, -1, -1,
+            -1, -1);
+        for (int64_t g = 0; g < chunk_len / 32; g++) {
+            __m256i w = _mm256_loadu_si256(
+                (const __m256i*)(src + g * 32));
+            __m256i wf = fold ? _mm256_andnot_si256(case_bit, w) : w;
+            __m256i valid = _mm256_or_si256(
+                _mm256_or_si256(_mm256_cmpeq_epi8(wf, cA),
+                                _mm256_cmpeq_epi8(wf, cC)),
+                _mm256_or_si256(_mm256_cmpeq_epi8(wf, cG),
+                                _mm256_cmpeq_epi8(wf, cT)));
+            uint32_t m = (uint32_t)_mm256_movemask_epi8(valid);
+            memcpy(mk + g * 4, &m, 4);
+            // (c>>1)&3 per byte (srli_epi16 shifts bit 8 into bit 7 of
+            // each byte, but &3 keeps only bits 0-1, so it's safe)
+            __m256i x = _mm256_and_si256(_mm256_srli_epi16(wf, 1), lo3);
+            __m256i s16 = _mm256_maddubs_epi16(x, w14);
+            __m256i s32 = _mm256_madd_epi16(s16, w116);
+            __m256i b = _mm256_shuffle_epi8(s32, pick);
+            uint32_t lo = (uint32_t)_mm256_extract_epi32(b, 0);
+            uint32_t hi = (uint32_t)_mm256_extract_epi32(b, 4);
+            memcpy(pk + g * 8, &lo, 4);
+            memcpy(pk + g * 8 + 4, &hi, 4);
+        }
+    }
+#endif
 
     inline void pack_row(const uint8_t* src, uint8_t* dst) const {
+#if defined(__x86_64__)
+        static const bool has_avx2 = __builtin_cpu_supports("avx2");
+        if (has_avx2 && chunk_len % 32 == 0) {
+            pack_row_avx2(src, dst);
+            return;
+        }
+#endif
         // 8 input bytes -> 2 code bytes + 1 mask byte, u64 at a time
         const bool fold = pack_mode == 1;
         uint8_t* pk = dst;
@@ -600,6 +667,19 @@ struct Ingest {
             }
             if (c >= 33 && c <= 126) {
                 int64_t j = i + 1;
+                // SWAR: swallow 8 printable bytes per step (sequence
+                // lines are long printable runs; per-byte scans dominate
+                // the parse otherwise)
+                while (j + 8 <= n) {
+                    uint64_t w;
+                    memcpy(&w, data + j, 8);
+                    uint64_t bad = nonprint(w);
+                    if (bad) {
+                        j += __builtin_ctzll(bad) >> 3;
+                        break;
+                    }
+                    j += 8;
+                }
                 while (j < n && data[j] >= 33 && data[j] <= 126) j++;
                 emit_span(data + i, j - i);
                 rec_len += j - i;
@@ -643,12 +723,21 @@ int64_t mash_ingest_feed(void* pv, const uint8_t* data, int64_t n,
     while (i < n && !g.overflow) {
         switch (g.st) {
         case Ingest::MARKER: {
-            // scan for '>' or '@' at a line start
+            // scan for '>' or '@' at a line start (memchr jumps line
+            // to line instead of walking every byte)
             while (i < n) {
-                uint8_t c = data[i];
-                if (g.line_start && (c == '>' || c == '@')) break;
-                g.line_start = (c == '\n');
-                i++;
+                if (g.line_start) {
+                    uint8_t c = data[i];
+                    if (c == '>' || c == '@') break;
+                    g.line_start = (c == '\n');
+                    i++;
+                } else {
+                    const uint8_t* nl = (const uint8_t*)memchr(
+                        data + i, '\n', n - i);
+                    if (!nl) { i = n; break; }
+                    i = (nl - data) + 1;
+                    g.line_start = true;
+                }
             }
             if (i < n) {
                 // previous records were already closed by their own end
@@ -718,8 +807,21 @@ int64_t mash_ingest_feed(void* pv, const uint8_t* data, int64_t n,
         }
         case Ingest::FASTQ_QUAL: {
             // count quality bytes in [33,127] (kseq.h:206-207) until
-            // they cover the (filtered) sequence length
+            // they cover the (filtered) sequence length; SWAR swallows
+            // 8 counted bytes per step on all-printable runs
             while (i < n && g.qual_count < g.rec_len) {
+                if (g.rec_len - g.qual_count >= 8 && i + 8 <= n) {
+                    uint64_t w;
+                    memcpy(&w, data + i, 8);
+                    // qual accepts [33,127]: bad = <33 or >=128
+                    if (!(Ingest::ltb(w, 33) |
+                          (w & 0x8080808080808080ull))) {
+                        g.qual_count += 8;
+                        g.line_start = false;
+                        i += 8;
+                        continue;
+                    }
+                }
                 uint8_t c = data[i];
                 if (c >= 33 && c <= 127) g.qual_count++;
                 g.line_start = (c == '\n');

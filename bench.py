@@ -176,7 +176,12 @@ def bench_screen_bigdb(H=10_000_000, iters=2):
 
 
 def bench_triangle(n=8192, s=1000):
-    """Ranked streamed-triangle rate (lower-triangle pairs/s)."""
+    """Ranked streamed-triangle rate (lower-triangle pairs/s).
+
+    One untimed pass first (rank_compress + tile compiles, executable
+    loads), then best-of-2 timed passes — matching the warmup
+    discipline of the kernel benches.
+    """
     from mash_tpu.ops.distance import stream_pair_stripes
 
     rng = np.random.default_rng(4)
@@ -187,17 +192,49 @@ def bench_triangle(n=8192, s=1000):
         axis=1,
     )
     sizes = np.full(n, s, dtype=np.int32)
-    t0 = time.perf_counter()
-    cells = 0
-    for i0, stripe in stream_pair_stripes(
-        H, sizes, H, sizes, cap=s, use64=True, triangle=True
-    ):
-        rows = stripe.shape[0]
-        i1 = min(i0 + rows, n)
-        for r in range(max(i0, 1) - i0, i1 - i0):
-            cells += i0 + r
-    dt = time.perf_counter() - t0
-    return cells / dt
+
+    def one_pass():
+        t0 = time.perf_counter()
+        cells = 0
+        for i0, stripe in stream_pair_stripes(
+            H, sizes, H, sizes, cap=s, use64=True, triangle=True
+        ):
+            rows = stripe.shape[0]
+            i1 = min(i0 + rows, n)
+            for r in range(max(i0, 1) - i0, i1 - i0):
+                cells += i0 + r
+        return cells / (time.perf_counter() - t0)
+
+    one_pass()  # warmup
+    return max(one_pass(), one_pass())
+
+
+def bench_upload(nbytes=96 << 20, pieces=8):
+    """Fresh-epoch H2D upload rate — the transfer ceiling that bounds
+    every end-to-end path through the dev tunnel (bytes/s)."""
+    import jax
+
+    from mash_tpu.utils import tunnel
+
+    dev = jax.devices()[0]
+    per = nbytes // pieces
+    arrs = [
+        np.random.default_rng(i).integers(
+            0, 255, size=per, dtype=np.uint8
+        )
+        for i in range(pieces)
+    ]
+    best = 0.0
+    for _ in range(2):
+        tunnel.new_transfer_epoch()
+        t0 = time.perf_counter()
+        ds = [jax.device_put(a, dev) for a in arrs]
+        for d in ds:
+            d.block_until_ready()
+        dt = time.perf_counter() - t0
+        del ds
+        best = max(best, nbytes / dt)
+    return best
 
 
 def bench_screen(db_size=2048, chunk_len=1 << 20, iters=8):
@@ -324,6 +361,7 @@ def main():
     e2e_gz_rate = bench_end_to_end_reads_gz()
     bigdb_rate = bench_screen_bigdb()
     tri_rate = bench_triangle()
+    upload_rate = bench_upload()
     result = {
         "metric": "sketch_bases_per_sec",
         "value": round(sketch_rate, 1),
@@ -355,6 +393,7 @@ def main():
             "triangle_vs_baseline": round(
                 tri_rate / base["pairwise_pairs_per_sec"], 3
             ),
+            "upload_mib_per_sec": round(upload_rate / 2**20, 1),
             "baseline_cpu_single_core": base,
             "platform": platform,
             "device_count": len(jax.devices()),

@@ -235,7 +235,8 @@ def rank_compress(Hq, Hr):
 
 @functools.lru_cache(maxsize=None)
 def _stripe_tile_fn(cap: int, use64: bool, row_block: int, tile_r: int,
-                    n_dev: int, ranked: bool = False):
+                    n_dev: int, ranked: bool = False,
+                    common_only: bool = False):
     """Jitted (Hq, Nq, Hr, Nr, qi, ri) -> packed uint32 tile.
 
     Row/col starts are traced (``dynamic_slice``) so every stripe tile
@@ -243,7 +244,10 @@ def _stripe_tile_fn(cap: int, use64: bool, row_block: int, tile_r: int,
     ``common | denom << 16`` to halve the device->host readback (valid
     because ``common <= denom <= cap < 2^16``).  With ``ranked`` the
     inputs are uint32 rank keys (``rank_compress``) and the single-
-    plane kernel runs regardless of hash width.
+    plane kernel runs regardless of hash width.  With ``common_only``
+    (every sketch full, so ``denom == cap`` for all real cells) only
+    ``common`` crosses the wire as uint16 — the tunnel's D2H path is
+    the streamed-triangle bound, so this halves it again.
     """
     import jax.lax as lax
 
@@ -271,6 +275,8 @@ def _stripe_tile_fn(cap: int, use64: bool, row_block: int, tile_r: int,
         r = lax.dynamic_slice_in_dim(Hr, ri, tile_r)
         nr = lax.dynamic_slice_in_dim(Nr, ri, tile_r)
         c, d = inner(q, nq, r, nr)
+        if common_only:
+            return c.astype(jnp.uint16)
         return c.astype(jnp.uint32) | (
             d.astype(jnp.uint32) << jnp.uint32(16)
         )
@@ -303,6 +309,13 @@ def stream_pair_stripes(
     ``cap < 65536``.
     """
     assert cap < 65536
+    from mash_tpu.utils import tunnel
+
+    # Fresh transfer epoch before the bulk sketch-matrix upload (the
+    # dev tunnel's H2D path is ~40x slower after any prior readback —
+    # e.g. sketching the input files).  Callers pass host arrays, so no
+    # live device state is at risk.
+    tunnel.new_transfer_epoch()
     big = jax.default_backend() == "tpu"
     if row_block is None:
         row_block = 512 if big else 32
@@ -355,8 +368,17 @@ def stream_pair_stripes(
             Hr = jnp.asarray(padded(ref_h, tile_r, empty))
             Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
 
+    # All-full-sketch fast path: every real cell's denominator is cap
+    # (the union walk of two full sketches always reaches cap), so the
+    # tiles ship uint16 ``common`` only and the denominator is
+    # reattached host-side.  Pad rows/cols are trimmed before use.
+    common_only = bool(np.all(np.asarray(qry_n) >= cap)) and (
+        triangle or bool(np.all(np.asarray(ref_n) >= cap))
+    )
+
     tile_fn = _stripe_tile_fn(
-        cap, use64, row_block, tile_r, n_dev, ranked
+        cap, use64, row_block, tile_r, n_dev, ranked,
+        common_only=common_only,
     )
 
     def dispatch(i0):
@@ -379,7 +401,12 @@ def stream_pair_stripes(
         stripe = np.concatenate(
             [np.asarray(t) for t in tiles], axis=1
         )
-        return i0, stripe[:rows, :cols]
+        stripe = stripe[:rows, :cols]
+        if common_only:
+            stripe = stripe.astype(np.uint32) | (
+                np.uint32(cap) << np.uint32(16)
+            )
+        return i0, stripe
 
     pend = None
     for i0 in range(0, nq, row_block):

@@ -85,3 +85,53 @@ def test_streamed_matches_full(msh_file, mode, monkeypatch):
     assert stream_out == full_out
     # stderr carries the max p-value line in phylip mode
     assert stream_err == full_err
+
+
+def test_common_only_fast_path_matches_packed():
+    """Full sketches (n == cap) take the uint16 common-only readback;
+    the reattached ``denom == cap`` packing must equal the general
+    packed path cell for cell (non-triangle and triangle)."""
+    from mash_tpu.ops import distance as dist_ops
+    from mash_tpu.ops.distance import stream_pair_stripes
+
+    rng = np.random.default_rng(33)
+    s = 64
+    n = 70  # not a multiple of any block size: exercises pad trimming
+    pool = np.sort(
+        rng.integers(0, 2**62, size=6 * s, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    H = np.empty((n, s), dtype=np.uint64)
+    for i in range(n):
+        H[i] = np.sort(rng.choice(pool, size=s, replace=False))
+    sizes = np.full(n, s, dtype=np.int32)
+
+    def collect(qn, rn, triangle):
+        out = {}
+        for i0, stripe in stream_pair_stripes(
+            H, qn, H, rn, cap=s, use64=True, triangle=triangle
+        ):
+            out[i0] = stripe
+        return out
+
+    # general path forced by a single non-full size (row n-1 only, so
+    # every other cell is identical work)
+    sizes_mixed = sizes.copy()
+    sizes_mixed[-1] = s - 1
+    for triangle in (False, True):
+        fast = collect(sizes, sizes, triangle)
+        slow = collect(sizes_mixed, sizes_mixed, triangle)
+        assert fast.keys() == slow.keys()
+        for i0, st in fast.items():
+            sl = slow[i0]
+            assert st.shape == sl.shape and st.dtype == np.uint32
+            # rows/cols not involving the perturbed last sketch agree
+            r_hi = min(st.shape[0], n - 1 - i0)
+            c_hi = min(st.shape[1], n - 1)
+            if r_hi > 0 and c_hi > 0:
+                np.testing.assert_array_equal(
+                    st[:r_hi, :c_hi], sl[:r_hi, :c_hi]
+                )
+            # fast-path denominators are cap everywhere
+            assert (st >> 16 == s).all()

@@ -42,6 +42,11 @@ def print_license() -> None:
 def main(argv=None) -> int:
     if argv is None:
         argv = sys.argv[1:]
+    # must run before anything touches the XLA backend (the command
+    # modules build jitted helpers on import)
+    from mash_tpu.parallel.multihost import maybe_init_distributed
+
+    maybe_init_distributed()
     commands = command_registry()
 
     if not argv:
@@ -60,10 +65,7 @@ def main(argv=None) -> int:
 
     command = commands[argv[0]]()
     try:
-        from mash_tpu.parallel.multihost import maybe_init_distributed
         from mash_tpu.utils import maybe_trace, stage
-
-        maybe_init_distributed()
 
         with maybe_trace(), stage("command:%s" % argv[0]):
             return command.parse(argv[1:])

@@ -278,11 +278,17 @@ class CommandDistance(Command):
                         )
                     )
 
+        from mash_tpu.parallel import multihost as mh
+
         n_cells = len(queries) * len(refs)
+        distributed = mh.process_count() > 1
         if n_cells > STREAM_MIN_CELLS and cap < 65536:
+            # multi-host: each host computes/emits only its round-robin
+            # row stripes; per-host outputs concatenate in stripe order
             for i0, stripe in stream_pair_stripes(
                 qry_h, qry_n, ref_h, ref_n, cap,
                 use64=sketch_ref.params.use64,
+                stripe_filter=mh.owns_stripe if distributed else None,
             ):
                 rows = min(stripe.shape[0], len(queries) - i0)
                 if rows <= 0:
@@ -294,7 +300,8 @@ class CommandDistance(Command):
                     ),
                     (stripe[:rows] >> np.uint32(16)).astype(np.int64),
                 )
-        else:
+        elif not distributed or mh.process_index() == 0:
+            # small outputs: rank 0 computes and writes everything
             common, denom = common_denom_tiled(
                 qry_h, qry_n, ref_h, ref_n, cap,
                 use64=sketch_ref.params.use64,

@@ -265,9 +265,14 @@ class CommandTriangle(Command):
                     k_min = sketch.min_kmer_size(i)
                 warning_count += 1
 
+        from mash_tpu.parallel import multihost as mh
+
         refs = sketch.references
         n = len(refs)
-        if not edge:
+        rank0 = mh.process_index() == 0
+        if not edge and rank0:
+            # multi-host: the PHYLIP header block belongs to rank 0
+            # only (per-host outputs concatenate in stripe order)
             out.write("\t%d\n" % n)
             out.write(
                 (refs[0].comment if comment else refs[0].name) + "\n"
@@ -284,13 +289,17 @@ class CommandTriangle(Command):
                 sketch, refs, H, N, cap, out, edge, comment,
                 pvalue_max, distance_max,
             )
-            if not edge:
+            if not edge and rank0:
                 err.write("Max p-value: %s\n" % cpp_double(pvalue_peak))
             if warning_count > 0 and not params.reads:
                 warn_kmer_size(
                     params, self, length_max, length_max_name,
                     random_chance, k_min, warning_count,
                 )
+            return 0
+
+        if not rank0:
+            # small triangles: rank 0 computes and writes everything
             return 0
 
         common, denom = common_denom_tiled(

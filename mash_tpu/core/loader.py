@@ -357,18 +357,78 @@ def init_from_reads(
     local_files = mh.shard_paths(files) if distributed else files
     if distributed and not needs_exact_streaming(params):
         s = params.sketch_size
+        P, pid = mh.process_count(), mh.process_index()
+        is_stdin = first_name == ""
+        # local candidate for the globally-first valid record: key is
+        # its round-robin position (record ordinal, *global* file
+        # index); the shard is paths[pid::P], so local file i is
+        # global file pid + i*P
+        loc_key = (-1, 0)
+        loc_name, loc_comment = "", ""
         if local_files and _fast_ingest_ok(params, local_files):
-            ref, state, count, skipped = _sketch_reads_fast(
-                engine, local_files, first_name
+            state, metas = _sketch_paths_fast(engine, local_files)
+            count = sum(m.count for m in metas)
+            skipped = any(m.skipped for m in metas)
+            best = min(
+                (
+                    (m.first_ordinal, i)
+                    for i, m in enumerate(metas)
+                    if m.first_ordinal >= 0
+                ),
+                default=None,
             )
+            if best is not None:
+                m = metas[best[1]]
+                loc_name, loc_comment = m.name_comment(
+                    is_stdin=is_stdin
+                )
+                loc_key = (best[0], pid + best[1] * P)
         elif local_files:
-            records = read_fastx_multi(local_files, round_robin=True)
-            ref, state, count, skipped = _sketch_concat(
-                engine, records, first_name, is_stdin=False
+            seen = {}
+
+            def _gen():
+                for rec, r, fi in read_fastx_multi(
+                    local_files, round_robin=True, with_pos=True
+                ):
+                    if (
+                        "best" not in seen
+                        and len(rec.seq) >= params.kmer_size
+                    ):
+                        seen["best"] = (r, fi, rec)
+                    yield rec
+
+            _ref, state, count, skipped = _sketch_concat(
+                engine, _gen(), first_name, is_stdin=is_stdin
             )
+            if "best" in seen:
+                r, fi, rec = seen["best"]
+                if is_stdin:
+                    loc_name = rec.name
+                    loc_comment = rec.comment or ""
+                else:
+                    loc_comment = (
+                        rec.name + " " + (rec.comment or "")
+                    )
+                loc_key = (r, pid + fi * P)
         else:
             state = engine.empty_state()
-            ref, count, skipped = None, 0, False
+            count, skipped = 0, False
+        # elect the globally-first record's header for naming
+        # (reference: first record of the round-robin walk over ALL
+        # files, Sketch.cpp:1200-1270 — not rank 0's local first)
+        payload = mh.elect_min_with_payload(
+            loc_key[0],
+            loc_key[1],
+            loc_name.encode("utf-8")
+            + b"\x00"
+            + loc_comment.encode("utf-8"),
+        )
+        if payload:
+            nm, _, cm = payload.partition(b"\x00")
+            g_name = nm.decode("utf-8", "replace")
+            comment = cm.decode("utf-8", "replace")
+        else:
+            g_name, comment = "", ""
         state = mh.merge_states_across_hosts(state, s)
         count, _tl, skipped = mh.reduce_meta_across_hosts(
             count, 0, skipped
@@ -377,17 +437,13 @@ def init_from_reads(
             total_len = params.genome_size
         else:
             total_len = int(engine.estimate_set_size(state))
-        comment = ref.comment if ref is not None else ""
-        if ref is not None and count > 1 and ref.comment:
-            # re-wrap with the global record count
-            base = ref.comment
-            if base.startswith("[") and "] " in base:
-                base = base.split("] ", 1)[1]
-            if base.endswith(" [...]"):
-                base = base[: -len(" [...]")]
-            comment = "[%d seqs] %s [...]" % (count, base)
+        if count > 1:
+            comment = "[%d seqs] %s [...]" % (count, comment)
         ref = engine.state_to_ref(
-            state, first_name, comment, total_len
+            state,
+            g_name if is_stdin else first_name,
+            comment,
+            total_len,
         )
     elif _fast_ingest_ok(params, files):
         ref, state, count, skipped = _sketch_reads_fast(

@@ -110,24 +110,31 @@ def _make_record(header: bytes, seq: bytes) -> Record:
     return Record(header_s, "", seq)
 
 
-def read_fastx_multi(paths, round_robin: bool = False) -> Iterator[Record]:
+def read_fastx_multi(
+    paths, round_robin: bool = False, with_pos: bool = False
+) -> Iterator:
     """Read several files; optionally round-robin one record per file.
 
     The reference's reads mode interleaves records round-robin across all
     input files (``src/mash/Sketch.cpp:1200-1270``); bottom-s selection is
     order-independent so the default is sequential, but round-robin is
-    available for exact-streaming parity paths.
+    available for exact-streaming parity paths.  ``with_pos`` yields
+    ``(record, ordinal, file_index)`` instead of bare records (used by
+    the multi-host reads path to elect the globally-first record).
     """
     if not round_robin:
-        for p in paths:
-            yield from read_fastx(p)
+        for fi, p in enumerate(paths):
+            for r, rec in enumerate(read_fastx(p)):
+                yield (rec, r, fi) if with_pos else rec
         return
-    iters = [read_fastx(p) for p in paths]
+    iters = [(fi, read_fastx(p)) for fi, p in enumerate(paths)]
+    rnd = 0
     while iters:
         nxt = []
-        for it in iters:
+        for fi, it in iters:
             rec: Optional[Record] = next(it, None)
             if rec is not None:
-                yield rec
-                nxt.append(it)
+                yield (rec, rnd, fi) if with_pos else rec
+                nxt.append((fi, it))
         iters = nxt
+        rnd += 1

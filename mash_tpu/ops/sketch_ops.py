@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-EMPTY = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+# numpy (not jnp) scalar: creating a device constant at import time
+# would initialize the XLA backend before jax.distributed can run
+# (multi-host CLI launches must import freely pre-init); numpy uint64
+# scalars are strongly typed, so jnp math treats it identically
+EMPTY = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def empty_state(s: int):

@@ -126,6 +126,48 @@ def reduce_meta_across_hosts(count: int, total_len: int,
     return int(tot[0]), int(tot[1]), bool(tot[2])
 
 
+def elect_min_with_payload(key0: int, key1: int, payload: bytes,
+                           max_len: int = 8192) -> bytes:
+    """Global argmin over ``(key0, key1)`` with a bytes payload.
+
+    Every host contributes a candidate (``key0 < 0`` means "no
+    candidate"); all hosts return the payload of the lexicographically
+    smallest key pair, ties broken by process index.  Used to elect the
+    globally-first valid input record for reads-mode naming (the
+    reference names the pooled sketch after the first record of the
+    round-robin walk over *all* files, ``Sketch.cpp:1200-1270``).
+    Returns ``b""`` when no host has a candidate.
+    """
+    if process_count() == 1:
+        return payload if key0 >= 0 else b""
+    from jax.experimental import multihost_utils
+
+    INF = np.int64(2**62)
+    keys = np.array(
+        [
+            INF if key0 < 0 else np.int64(key0),
+            np.int64(key1),
+            np.int64(min(len(payload), max_len)),
+        ],
+        dtype=np.int64,
+    )
+    buf = np.zeros(max_len, dtype=np.uint8)
+    pb = np.frombuffer(payload[:max_len], dtype=np.uint8)
+    buf[: len(pb)] = pb
+    gk = multihost_utils.process_allgather(keys)
+    gp = multihost_utils.process_allgather(buf)
+    gk = np.asarray(gk).reshape(-1, 3)
+    gp = np.asarray(gp).reshape(-1, max_len)
+    w = int(
+        np.lexsort(
+            (np.arange(gk.shape[0]), gk[:, 1], gk[:, 0])
+        )[0]
+    )
+    if gk[w, 0] >= INF:
+        return b""
+    return gp[w, : int(gk[w, 2])].tobytes()
+
+
 def owns_stripe(i0: int, row_block: int) -> bool:
     """Static round-robin stripe ownership for triangle/dist output."""
     return (i0 // row_block) % process_count() == process_index()

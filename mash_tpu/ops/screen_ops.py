@@ -152,7 +152,14 @@ def count_db_occurrences(h, v, db_hashes, counts):
 
 
 def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
-    """Compile a (counts, state, chunk) -> (counts, state) fold step."""
+    """Compile a (counts, state, chunk) -> (counts, state) fold step.
+
+    The returned fold also carries a ``fold_rows(counts, state,
+    rows[R, L])`` attribute that folds a whole ingest batch in ONE
+    dispatch (hashing all rows at once, scanning the count/merge),
+    mirroring the reference ThreadPool's batch concurrency
+    (CommandScreen.cpp:155-270) without per-row dispatch overhead.
+    """
     from mash_tpu.ops.kmers import alphabet_bytes
 
     alpha = alphabet_bytes(params.alphabet)
@@ -162,9 +169,8 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
     noncanonical = params.noncanonical
     preserve_case = params.preserve_case
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def fold(counts, state, chunk):
-        h, v = hash_chunk(
+    def _hash(chunk):
+        return hash_chunk(
             chunk,
             alphabet=alpha,
             k=k,
@@ -173,6 +179,10 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
             noncanonical=noncanonical,
             preserve_case=preserve_case,
         )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fold(counts, state, chunk):
+        h, v = _hash(chunk)
         h, v = jax.lax.optimization_barrier((h, v))
         counts = count_db_occurrences(h, v, db_hashes, counts)
         sh, sc = sketch_ops.sketch_chunk_batch(
@@ -181,7 +191,28 @@ def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
         state = sketch_ops.merge_states(state, (sh[0], sc[0]), s=s)
         return counts, state
 
-    return fold
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def fold_rows(counts, state, rows):
+        h2, v2 = _hash(rows)
+        h2, v2 = jax.lax.optimization_barrier((h2, v2))
+
+        def cbody(c, hv):
+            return count_db_occurrences(hv[0], hv[1], db_hashes, c), None
+
+        counts, _ = jax.lax.scan(cbody, counts, (h2, v2))
+        sh, sc = sketch_ops.sketch_chunk_batch(h2, v2, s=s, use64=use64)
+
+        def mbody(st, x):
+            return sketch_ops.merge_states(st, x, s=s), None
+
+        state, _ = jax.lax.scan(mbody, state, (sh, sc))
+        return counts, state
+
+    def fold_entry(counts, state, chunk):
+        return fold(counts, state, chunk)
+
+    fold_entry.fold_rows = fold_rows
+    return fold_entry
 
 
 # Above this many DB hashes the per-chunk counting tiers lose to the
@@ -248,6 +279,11 @@ class BigDBCounter:
         self._sent_valid = jnp.zeros((), dtype=jnp.int32)
         self._db_dev64 = None  # lazy, only for the fallback tier
         self._fallbacks = 0
+        # Recovery: one pathological batch must not degrade batching
+        # for the rest of the stream — after RECOVER_AFTER consecutive
+        # clean flushes, k_eff doubles back toward K.
+        self.RECOVER_AFTER = 4
+        self._clean_streak = 0
 
     def _prep_fn(self, length: int):
         fn = self._preps.get(length)
@@ -285,6 +321,47 @@ class BigDBCounter:
         if len(self.pending) >= self.k_eff:
             self.flush()
 
+    def _prep_rows_fn(self, rows: int, length: int):
+        key = (rows, length)
+        fn = self._preps.get(key)
+        if fn is not None:
+            return fn
+        chunk_len = self.chunk_len
+
+        @jax.jit
+        def prep_rows(h2, v2):
+            hm = jnp.where(v2, h2, jnp.uint64(0xFFFFFFFFFFFFFFFF))
+            sent = jnp.sum(
+                v2 & (h2 == jnp.uint64(0xFFFFFFFFFFFFFFFF)),
+                dtype=jnp.int32,
+            )
+            if hm.shape[1] < chunk_len:
+                hm = jnp.concatenate(
+                    [
+                        hm,
+                        jnp.full(
+                            (hm.shape[0], chunk_len - hm.shape[1]),
+                            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                        ),
+                    ],
+                    axis=1,
+                )
+            return hm, sent
+
+        self._preps[key] = prep_rows
+        return prep_rows
+
+    def add_rows(self, h2, v2) -> None:
+        """Queue a whole hashed batch ``[R, n]`` (one prep dispatch)."""
+        hm, sent = self._prep_rows_fn(
+            int(h2.shape[0]), int(h2.shape[1])
+        )(h2, v2)
+        self._sent_valid = self._sent_valid + sent
+        for r in range(hm.shape[0]):
+            self.pending.append(hm[r])
+            if len(self.pending) >= self.k_eff:
+                self.flush()
+
     def flush(self) -> None:
         if not self.pending:
             return
@@ -308,9 +385,17 @@ class BigDBCounter:
         )
         if bool(ok):
             self.counts = new_counts
+            self._clean_streak += 1
+            if (
+                self._clean_streak >= self.RECOVER_AFTER
+                and self.k_eff < self.K
+            ):
+                self.k_eff = min(self.K, self.k_eff * 2)
+                self._clean_streak = 0
         else:  # certificate failed: exact fallback on this batch
             self._fallbacks += 1
             self.k_eff = max(1, self.k_eff // 2)
+            self._clean_streak = 0
             if self._db_dev64 is None:
                 dbp = np.full(
                     self.H_pad, np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -437,6 +522,47 @@ def make_screen_fold_bigdb(params, db_hashes: np.ndarray, s: int,
         counter.add(h, v)
         return counts, (sh, sc)
 
+    hash_rows_fns = {}
+
+    def _hash_rows_fn(shape):
+        fn = hash_rows_fns.get(shape)
+        if fn is not None:
+            return fn
+
+        @jax.jit
+        def hfr(rows, state_h, state_c):
+            h2, v2 = hash_chunk(
+                rows,
+                alphabet=alpha,
+                k=params.kmer_size,
+                seed=params.seed,
+                use64=params.use64,
+                noncanonical=params.noncanonical,
+                preserve_case=params.preserve_case,
+            )
+            sh, sc = sketch_ops.sketch_chunk_batch(
+                h2, v2, s=s, use64=params.use64
+            )
+
+            def mbody(st, x):
+                return sketch_ops.merge_states(st, x, s=s), None
+
+            (nh, nc), _ = jax.lax.scan(
+                mbody, (state_h, state_c), (sh, sc)
+            )
+            return h2, v2, nh, nc
+
+        hash_rows_fns[shape] = hfr
+        return hfr
+
+    def fold_rows(counts, state, rows):
+        h2, v2, sh, sc = _hash_rows_fn(tuple(rows.shape))(
+            rows, state[0], state[1]
+        )
+        counter.add_rows(h2, v2)
+        return counts, (sh, sc)
+
+    fold.fold_rows = fold_rows
     counts0 = jnp.zeros(0, dtype=jnp.uint32)
 
     def finalize(_counts):

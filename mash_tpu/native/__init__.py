@@ -417,7 +417,12 @@ class NativeIngest:
         n = self._lib.mash_ingest_first_header(
             self._g, out.ctypes.data, 8192
         )
-        return out[: min(n, 8192)].tobytes().decode("utf-8", "replace")
+        if n > 8192:  # rare: regrow for very long headers
+            out = np.empty(n, dtype=np.uint8)
+            n = self._lib.mash_ingest_first_header(
+                self._g, out.ctypes.data, n
+            )
+        return out[:n].tobytes().decode("utf-8", "replace")
 
     def __del__(self):
         if getattr(self, "_lib", None) is not None and self._g:

@@ -697,6 +697,9 @@ struct Ingest {
 void* mash_ingest_create(int64_t chunk_len, int64_t k,
                          int64_t pack_mode) {
     if (pack_mode && chunk_len % 8) return nullptr;
+    // flush_row keeps the k-1-byte overlap in a fixed 64-byte buffer;
+    // reject k outside what it (and Mash's k<=32 CLI bound) can hold.
+    if (k < 1 || k > 64) return nullptr;
     return new Ingest(chunk_len, k, pack_mode);
 }
 
@@ -752,13 +755,13 @@ int64_t mash_ingest_feed(void* pv, const uint8_t* data, int64_t n,
             const uint8_t* nl =
                 (const uint8_t*)memchr(data + i, '\n', n - i);
             int64_t he = nl ? (nl - data) : n;
-            if (g.first_valid_ordinal < 0 &&
-                g.header.size() < (size_t)8192) {
-                int64_t take = he - i;
-                if ((int64_t)g.header.size() + take > 8192)
-                    take = 8192 - g.header.size();
-                g.header.insert(g.header.end(), data + i,
-                                data + i + take);
+            // Captured once per stream (first valid record only), so
+            // growing unboundedly is cheap and keeps the fast path's
+            // name/comment byte-identical to the Python record path
+            // (kseq keeps full headers; Mash Sketch.cpp:1046-1076 uses
+            // them verbatim for name/comment).
+            if (g.first_valid_ordinal < 0) {
+                g.header.insert(g.header.end(), data + i, data + he);
             }
             if (nl) {
                 if (!g.header.empty() && g.header.back() == '\r')

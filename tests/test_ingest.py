@@ -277,3 +277,45 @@ def test_ingest_sketch_parity_with_record_path(tmp_path):
     assert ref_fast.length == ref_slow.length
     assert ref_fast.comment == ref_slow.comment
     assert ref_fast.name == ref_slow.name
+
+
+def test_ingest_long_header_matches_python_path(tmp_path):
+    """Headers past any internal buffer size must survive verbatim:
+    fast-path name/comment == record-path name/comment (ADVICE r2:
+    the native parser used to cap the captured header at 8 KiB while
+    the Python path keeps it unbounded)."""
+    from mash_tpu.core.engine import SketchEngine, sketch_records_concat
+    from mash_tpu.core.loader import _sketch_file_fast
+    from mash_tpu.core.params import default_nucleotide_params
+    from mash_tpu.io.fastx import read_fastx
+
+    rng = random.Random(5)
+    name = "seq" + "".join(rng.choice("abcxyz") for _ in range(20))
+    comment = "".join(rng.choice("abcdefgh ") for _ in range(20_000))
+    data = (
+        (">" + name + " " + comment + "\n").encode()
+        + b"ACGTACGTACGTACGTACGTACGTACGTACGT" * 64
+        + b"\n"
+    )
+    f = tmp_path / "longhdr.fna"
+    f.write_bytes(data)
+
+    params = default_nucleotide_params()
+    engine = SketchEngine(params, chunk_len=1 << 12)
+    ref_slow, _s, _c, _k = sketch_records_concat(
+        engine, read_fastx(str(f)), str(f), is_stdin=False
+    )
+    ref_fast, _s2, _c2, _k2 = _sketch_file_fast(engine, str(f))
+    assert len(ref_fast.comment) > 8192
+    assert ref_fast.name == ref_slow.name
+    assert ref_fast.comment == ref_slow.comment
+
+
+def test_ingest_rejects_out_of_range_k():
+    """flush_row keeps the k-1 overlap in a fixed 64-byte buffer; the
+    constructor must reject k that would overflow it (ADVICE r2)."""
+    with pytest.raises(RuntimeError):
+        NativeIngest(1 << 12, 65)
+    with pytest.raises(RuntimeError):
+        NativeIngest(1 << 12, 0)
+    NativeIngest(1 << 12, 64)  # boundary ok

@@ -118,12 +118,19 @@ def stream_fold_fast(fold, counts, state, files, k, params,
     unpack = (
         jax.jit(lambda b: unpack_chunks(b, chunk_len)) if pack else None
     )
+    # One dispatch per [batch_rows, L] batch where the fold supports it
+    # (plain and big-DB tiers); per-row only as a fallback (the mesh-
+    # sharded fold keeps its own per-chunk collective layout).
+    fold_rows = getattr(fold, "fold_rows", None)
     for batch in pipe.batches():
         dev = jax.device_put(batch)
         if unpack is not None:
             dev = unpack(dev)
-        for r in range(batch_rows):
-            counts, state = fold(counts, state, dev[r])
+        if fold_rows is not None:
+            counts, state = fold_rows(counts, state, dev)
+        else:
+            for r in range(batch_rows):
+                counts, state = fold(counts, state, dev[r])
     saw_any = any(m.count > 0 for m in pipe.metas)
     return counts, state, saw_any
 

@@ -175,6 +175,45 @@ def bench_screen_bigdb(H=10_000_000, iters=2):
     return nch * n / dt
 
 
+def bench_screen_e2e(H=1_000_000):
+    """Full ``screen`` pipeline: parse + pack + transfer + hash +
+    count + sketch over the cached 256-Mbase FASTA against an H-hash
+    DB (the big-DB tier on TPU), best of 2 (bases/s)."""
+    import jax
+    import jax.numpy as jnp
+    from mash_tpu.commands.screen import stream_fold_fast
+    from mash_tpu.core.params import default_nucleotide_params
+    from mash_tpu.ops import screen_ops, sketch_ops
+    from mash_tpu.utils import tunnel
+
+    path, total = _e2e_fasta()
+    rng = np.random.default_rng(6)
+    db = np.unique(
+        rng.integers(0, 2**63, size=H, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    params = default_nucleotide_params()
+    s = 1000
+    best = 0.0
+    for _ in range(2):
+        tunnel.new_transfer_epoch()
+        fold, counts, fin = screen_ops.make_screen_fold_auto(
+            params, db, s
+        )
+        state = sketch_ops.empty_state(s)
+        t0 = time.perf_counter()
+        counts, state, saw = stream_fold_fast(
+            fold, counts, state, [path], params.kmer_size, params
+        )
+        c = fin(counts)
+        jax.block_until_ready(state[0])
+        dt = time.perf_counter() - t0
+        assert saw and c.shape[0] == len(db)
+        best = max(best, total / dt)
+    return best
+
+
 def bench_triangle(n=8192, s=1000):
     """Ranked streamed-triangle rate (lower-triangle pairs/s).
 
@@ -360,6 +399,10 @@ def main():
     e2e_rate = bench_end_to_end()
     e2e_gz_rate = bench_end_to_end_reads_gz()
     bigdb_rate = bench_screen_bigdb()
+    # RefSeq-scale point (H=1e8): regression-guards the documented
+    # H-independence of the big-DB tier (docs/tpu-design.md).
+    bigdb_rate_1e8 = bench_screen_bigdb(H=100_000_000, iters=1)
+    screen_e2e_rate = bench_screen_e2e()
     tri_rate = bench_triangle()
     upload_rate = bench_upload()
     result = {
@@ -388,6 +431,13 @@ def main():
             "screen_bigdb_1e7_hashes_per_sec": round(bigdb_rate, 1),
             "screen_bigdb_vs_baseline": round(
                 bigdb_rate / base["screen_bases_per_sec"], 3
+            ),
+            "screen_bigdb_1e8_hashes_per_sec": round(
+                bigdb_rate_1e8, 1
+            ),
+            "screen_e2e_bases_per_sec": round(screen_e2e_rate, 1),
+            "screen_e2e_vs_baseline": round(
+                screen_e2e_rate / base["screen_bases_per_sec"], 3
             ),
             "triangle_ranked_pairs_per_sec": round(tri_rate, 1),
             "triangle_vs_baseline": round(

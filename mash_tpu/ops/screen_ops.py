@@ -274,7 +274,12 @@ class BigDBCounter:
         # shape (inactive slots pad with sentinels).
         self.k_eff = self.K
         self.counts = jnp.zeros(self.H_pad, dtype=jnp.int32)
+        # queued device rows awaiting a flush: a list of 1-D
+        # [chunk_len] chunks and 2-D [r, chunk_len] row groups (kept
+        # whole — slicing a group into rows would cost one device
+        # dispatch per row through the transfer path)
         self.pending = []
+        self._pending_rows = 0
         self._preps = {}
         self._sent_valid = jnp.zeros((), dtype=jnp.int32)
         self._db_dev64 = None  # lazy, only for the fallback tier
@@ -318,7 +323,8 @@ class BigDBCounter:
         hm, sent = self._prep_fn(int(h.shape[0]))(h, v)
         self._sent_valid = self._sent_valid + sent
         self.pending.append(hm)
-        if len(self.pending) >= self.k_eff:
+        self._pending_rows += 1
+        if self._pending_rows >= self.k_eff:
             self.flush()
 
     def _prep_rows_fn(self, rows: int, length: int):
@@ -357,21 +363,41 @@ class BigDBCounter:
             int(h2.shape[0]), int(h2.shape[1])
         )(h2, v2)
         self._sent_valid = self._sent_valid + sent
-        for r in range(hm.shape[0]):
-            self.pending.append(hm[r])
-            if len(self.pending) >= self.k_eff:
-                self.flush()
+        self.pending.append(hm)
+        self._pending_rows += int(hm.shape[0])
+        if self._pending_rows >= self.k_eff:
+            self.flush()
 
     def flush(self) -> None:
-        if not self.pending:
+        if self._pending_rows == 0:
             return
-        pad_rows = self.K - len(self.pending)
-        full = jnp.full(
-            self.chunk_len, jnp.uint64(0xFFFFFFFFFFFFFFFF)
+        L = self.chunk_len
+        flat = (
+            jnp.concatenate([a.reshape(-1) for a in self.pending])
+            if len(self.pending) > 1 or self.pending[0].ndim != 1
+            else self.pending[0]
         )
-        batch = jnp.sort(
-            jnp.concatenate(self.pending + [full] * pad_rows)
-        )
+        n = self._pending_rows
+        self.pending = []
+        self._pending_rows = 0
+        i = 0
+        while i < n:  # k_eff-row slabs (row groups can exceed one)
+            take = min(self.k_eff, n - i)
+            slab = flat[i * L : (i + take) * L]
+            if take < self.K:
+                slab = jnp.concatenate(
+                    [
+                        slab,
+                        jnp.full(
+                            (self.K - take) * L,
+                            jnp.uint64(0xFFFFFFFFFFFFFFFF),
+                        ),
+                    ]
+                )
+            self._flush_batch(jnp.sort(slab))
+            i += take
+
+    def _flush_batch(self, batch) -> None:
         new_counts, ok = self.ps.count_batch(
             batch,
             self.dbh,
@@ -406,7 +432,6 @@ class BigDBCounter:
             self.counts = count_db_occurrences(
                 batch, valid, self._db_dev64, self.counts
             )
-        self.pending = []
 
     def finalize(self) -> np.ndarray:
         self.flush()

@@ -183,7 +183,12 @@ class CommandDistance(Command):
                     warning_count += 1
             err.write("done.\n")
 
-        if table:
+        from mash_tpu.parallel import multihost as mh
+
+        rank0 = mh.process_index() == 0
+        if table and rank0:
+            # rank 0 only: per-host outputs concatenate in stripe
+            # order, so the header must appear exactly once
             out.write("#query")
             for ref in sketch_ref.references:
                 out.write("\t" + ref.name)
@@ -308,7 +313,7 @@ class CommandDistance(Command):
             )
             emit_block(0, common, denom)
 
-        if warning_count > 0 and not params.reads:
+        if warning_count > 0 and not params.reads and rank0:
             warn_kmer_size(
                 params,
                 self,

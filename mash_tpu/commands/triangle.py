@@ -291,7 +291,7 @@ class CommandTriangle(Command):
             )
             if not edge and rank0:
                 err.write("Max p-value: %s\n" % cpp_double(pvalue_peak))
-            if warning_count > 0 and not params.reads:
+            if warning_count > 0 and not params.reads and rank0:
                 warn_kmer_size(
                     params, self, length_max, length_max_name,
                     random_chance, k_min, warning_count,

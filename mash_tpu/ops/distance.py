@@ -24,6 +24,7 @@ of ``src/mash/CommandContain.cpp:231-263``.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -322,8 +323,20 @@ def stream_pair_stripes(
     if tile_r is None:
         tile_r = 4096 if big else 128
     n_dev = len(jax.local_devices())
-    if n_dev > 1:
-        row_block = n_dev * ((row_block + n_dev - 1) // n_dev)
+    # Stripe boundaries must agree on EVERY host (owns_stripe divides
+    # output by stripe index), so round to a multiple of all hosts'
+    # device counts, not just the local one.
+    from mash_tpu.parallel import multihost as mh
+
+    dev_mult = 1
+    for c in (
+        mh.local_device_counts()
+        if mh.process_count() > 1
+        else np.array([n_dev])
+    ):
+        dev_mult = math.lcm(dev_mult, int(c))
+    if dev_mult > 1:
+        row_block = dev_mult * ((row_block + dev_mult - 1) // dev_mult)
 
     nq = qry_h.shape[0]
     nr = ref_h.shape[0]
@@ -342,8 +355,6 @@ def stream_pair_stripes(
     # once; the kernel runs O(N^2) times).
     ranked = use64 and big and n_dev == 1
     if ranked and triangle:
-        import math
-
         mult = row_block * tile_r // math.gcd(row_block, tile_r)
         Hp = jnp.asarray(padded(qry_h, mult, empty))
         Np = jnp.asarray(padded(qry_n.astype(np.int32), mult, 0))

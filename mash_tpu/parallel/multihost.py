@@ -126,8 +126,29 @@ def reduce_meta_across_hosts(count: int, total_len: int,
     return int(tot[0]), int(tot[1]), bool(tot[2])
 
 
-def elect_min_with_payload(key0: int, key1: int, payload: bytes,
-                           max_len: int = 8192) -> bytes:
+def local_device_counts() -> np.ndarray:
+    """Every process's local device count (allgathered).
+
+    Stripe geometry (``distance.stream_pair_stripes`` ``row_block``)
+    must be identical on every host, so it is derived from ALL hosts'
+    device counts, not the local one — heterogeneous slices would
+    otherwise disagree on stripe boundaries and ownership.
+    """
+    import jax
+
+    n = len(jax.local_devices())
+    if process_count() == 1:
+        return np.array([n], dtype=np.int64)
+    from jax.experimental import multihost_utils
+
+    g = multihost_utils.process_allgather(
+        np.array([n], dtype=np.int64)
+    )
+    return np.asarray(g).reshape(-1)
+
+
+def elect_min_with_payload(key0: int, key1: int,
+                           payload: bytes) -> bytes:
     """Global argmin over ``(key0, key1)`` with a bytes payload.
 
     Every host contributes a candidate (``key0 < 0`` means "no
@@ -147,16 +168,20 @@ def elect_min_with_payload(key0: int, key1: int, payload: bytes,
         [
             INF if key0 < 0 else np.int64(key0),
             np.int64(key1),
-            np.int64(min(len(payload), max_len)),
+            np.int64(len(payload)),
         ],
         dtype=np.int64,
     )
-    buf = np.zeros(max_len, dtype=np.uint8)
-    pb = np.frombuffer(payload[:max_len], dtype=np.uint8)
-    buf[: len(pb)] = pb
     gk = multihost_utils.process_allgather(keys)
-    gp = multihost_utils.process_allgather(buf)
     gk = np.asarray(gk).reshape(-1, 3)
+    # size the payload buffer to the global maximum so nothing is
+    # truncated (headers can exceed any fixed cap; the native parser
+    # keeps them unbounded for the same parity reason)
+    max_len = max(int(gk[:, 2].max()), 1)
+    buf = np.zeros(max_len, dtype=np.uint8)
+    pb = np.frombuffer(payload, dtype=np.uint8)
+    buf[: len(pb)] = pb
+    gp = multihost_utils.process_allgather(buf)
     gp = np.asarray(gp).reshape(-1, max_len)
     w = int(
         np.lexsort(

@@ -78,6 +78,7 @@ run(
     + CFG["read_files"],
 )
 run("dist", ["dist", CFG["refs_msh"], CFG["qry_msh"]])
+run("dist_t", ["dist", "-t", CFG["refs_msh"], CFG["qry_msh"]])
 run("triangle", ["triangle", CFG["refs_msh"]])
 run("triangle_edge", ["triangle", "-E", CFG["refs_msh"]])
 run("screen", ["screen", CFG["screen_db"]] + CFG["read_files"])

@@ -57,7 +57,8 @@ def _free_port() -> int:
     return port
 
 
-def _mk_reads(path, seed, n_reads=120, rl=100, first_short=False):
+def _mk_reads(path, seed, n_reads=120, rl=100, first_short=False,
+              first_long_comment=False):
     rng = np.random.default_rng(seed)
     bases = np.frombuffer(b"ACGT", dtype=np.uint8)
     tag = pathlib.Path(path).stem
@@ -69,9 +70,14 @@ def _mk_reads(path, seed, n_reads=120, rl=100, first_short=False):
             f.write(b"@%s_short too_short\nACGT\n+\nIIII\n" % tag.encode())
         for i in range(n_reads):
             seq = rng.choice(bases, size=rl).tobytes()
+            comment = b"c%d" % i
+            if first_long_comment and i == 0:
+                # > 8 KiB: the elected name/comment payload must cross
+                # hosts untruncated (no fixed allgather buffer cap)
+                comment += b" " + b"x" * 9000
             f.write(
-                b"@%s_r%d c%d\n%s\n+\n%s\n"
-                % (tag.encode(), i, i, seq, b"I" * rl)
+                b"@%s_r%d %s\n%s\n+\n%s\n"
+                % (tag.encode(), i, comment, seq, b"I" * rl)
             )
 
 
@@ -116,7 +122,10 @@ def tw(tmp_path_factory):
     reads = []
     for i in range(4):
         p = str(root / ("f%d.fastq" % i))
-        _mk_reads(p, seed=50 + i, first_short=(i == 0))
+        _mk_reads(
+            p, seed=50 + i, first_short=(i == 0),
+            first_long_comment=(i == 1),
+        )
         reads.append(p)
     refs_msh = str(root / "refs.msh")
     qry_msh = str(root / "qry.msh")
@@ -184,6 +193,7 @@ def tw(tmp_path_factory):
     try:
         single = {
             "dist": _run_single(["dist", refs_msh, qry_msh]),
+            "dist_t": _run_single(["dist", "-t", refs_msh, qry_msh]),
             "triangle": _run_single(["triangle", refs_msh]),
             "triangle_edge": _run_single(["triangle", "-E", refs_msh]),
             "screen": _run_single(["screen", db_msh] + reads),
@@ -221,7 +231,10 @@ def test_pooled_sketch_elected_comment(tw):
     shorter than k."""
     msh = capnp_msh.read_msh(str(tw["outdir"] / "pooled.msh"))
     ref = msh.references[0]
-    assert "f1_r0 c0" in ref.comment, ref.comment
+    assert "f1_r0 c0" in ref.comment, ref.comment[:120]
+    # the elected record's >8 KiB comment crossed hosts untruncated
+    assert len(ref.comment) > 9000
+    assert ("x" * 9000) in ref.comment  # full header, " [...]" suffix
 
 
 def test_dist_stripes_partition_and_concatenate(tw):
@@ -232,6 +245,17 @@ def test_dist_stripes_partition_and_concatenate(tw):
     # stripe 0 (rows 0-31) -> rank 0; stripe 1 (rows 32-39) -> rank 1
     assert r0 == single_lines[: 32 * N_REFS]
     assert r1 == single_lines[32 * N_REFS :]
+
+
+def test_dist_table_header_once(tw):
+    """`dist -t`: the #query header belongs to rank 0 only, so the
+    concatenated per-rank outputs equal the single-process table."""
+    single = tw["single"]["dist_t"][0]
+    r0 = _rank_out(tw, 0, "dist_t")
+    r1 = _rank_out(tw, 1, "dist_t")
+    assert r0.startswith("#query\t")
+    assert not r1.startswith("#query")
+    assert r0 + r1 == single
 
 
 def test_triangle_header_and_rows(tw):

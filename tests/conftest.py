@@ -43,3 +43,20 @@ def reference_test_dir():
     if not REFERENCE_TEST_DIR.exists():
         pytest.skip("reference test data not available")
     return REFERENCE_TEST_DIR
+
+
+def run_cli(argv):
+    """Drive the CLI in-process, asserting success; returns stdout.
+
+    Shared by the command-surface tests (one definition instead of a
+    copy per file)."""
+    import contextlib
+    import io
+
+    from mash_tpu.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(argv)
+    assert rc in (0, None), argv
+    return buf.getvalue()

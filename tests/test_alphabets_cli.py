@@ -11,15 +11,13 @@ unless ``-k`` is given), and ``use64 = |alphabet|^k > 2^32``
 
 from __future__ import annotations
 
-import contextlib
-import io
 import json
 
 import numpy as np
 import pytest
 
-from mash_tpu.__main__ import main
 from mash_tpu.io import capnp_msh
+from conftest import run_cli as _run
 
 
 PROTEIN_FASTA = (
@@ -30,14 +28,6 @@ PROTEIN_FASTA = (
     "MSKIVKIIGREIIDSRGNPTVEAEVHLEGGFVGMAAAPSGASTGSREALELRDGDKSRFLG"
     "KGVTKAVAAVNGPIAQALIGKDAKDQAGIDKIMIDLDGTENKSKFGANAILAVSLANAKAA\n"
 )
-
-
-def _run(argv):
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(argv)
-    assert rc in (0, None), argv
-    return buf.getvalue()
 
 
 @pytest.fixture(scope="module")

@@ -16,27 +16,17 @@ covers ``-m 1`` reads mode), so this pins three things instead:
 
 from __future__ import annotations
 
-import contextlib
-import io
 import os
 
 import pytest
 
-from mash_tpu.__main__ import main
 from mash_tpu.io import capnp_msh
 from mash_tpu.io.formatting import parse_json_dump
+from conftest import run_cli as _capture
 
 GOLDEN = os.path.join(
     os.path.dirname(__file__), "goldens", "dist_m2.txt"
 )
-
-
-def _capture(args):
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(args)
-    assert rc == 0
-    return buf.getvalue()
 
 
 def _run_m2(d, reference_test_dir, tag):

@@ -8,7 +8,6 @@ behavior in ``Sketch::initFromFiles``/``sketchFile``).
 
 from __future__ import annotations
 
-import contextlib
 import io
 
 import numpy as np
@@ -16,18 +15,11 @@ import pytest
 
 from mash_tpu.__main__ import main
 from mash_tpu.io import capnp_msh
+from conftest import run_cli as _run
 
 
 FNA1 = b">a one\n" + b"ACGTTGCAACGTTGCAATGCCGTA" * 8 + b"\n"
 FNA2 = b">b two\n" + b"TTGACGTCAGGTTGCAACGTACCA" * 8 + b"\n"
-
-
-def _run(argv):
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(argv)
-    assert rc in (0, None), argv
-    return buf.getvalue()
 
 
 @pytest.fixture()

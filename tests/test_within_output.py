@@ -12,18 +12,16 @@ pairwise_containment`` + ``commands/contain.py``.
 
 from __future__ import annotations
 
-import contextlib
-import io
 import math
 
 import numpy as np
 import pytest
 
-from mash_tpu.__main__ import main
 from mash_tpu.core.params import default_nucleotide_params
 from mash_tpu.core.sketch import SketchRef
 from mash_tpu.io import capnp_msh
 from mash_tpu.io.formatting import cpp_double
+from conftest import run_cli as _run_within
 
 
 def _contain_sketches_oracle(ref_h: np.ndarray, qry_h: np.ndarray):
@@ -118,14 +116,6 @@ def within_fixture(tmp_path_factory):
     capnp_msh.write_msh(ref_path, params, refs)
     capnp_msh.write_msh(qry_path, params, qrys)
     return refs, qrys, ref_path, qry_path
-
-
-def _run_within(argv):
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        rc = main(argv)
-    assert rc in (0, None)
-    return buf.getvalue()
 
 
 @pytest.mark.parametrize("threshold", [None, 0.2, 0.0001])

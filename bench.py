@@ -171,7 +171,7 @@ def bench_screen_bigdb(H=10_000_000, iters=2):
     counter.flush()
     jax.block_until_ready(counter.counts)
     dt = time.perf_counter() - t0
-    assert counter._fallbacks == 0
+    assert counter.fallback_count() == 0
     return nch * n / dt
 
 

@@ -283,8 +283,6 @@ class CommandDistance(Command):
                         )
                     )
 
-        from mash_tpu.parallel import multihost as mh
-
         n_cells = len(queries) * len(refs)
         distributed = mh.process_count() > 1
         if n_cells > STREAM_MIN_CELLS and cap < 65536:

@@ -155,18 +155,14 @@ def _sketch_file_fast(engine: SketchEngine, path: str):
     return ref, state, meta.count, meta.skipped
 
 
-def _sketch_reads_fast(engine: SketchEngine, files: List[str],
-                       first_name: str):
-    """Pooled reads-mode sketch over all files via the fast pipeline.
+def _fast_pool_metas(metas):
+    """Pooled count/skipped + the local first-valid-record candidate.
 
-    The bottom-s fold is order-independent, so files stream sequentially
-    instead of the reference's record round-robin
-    (``Sketch.cpp:1200-1270``); the first-record naming is reconstructed
-    in round-robin order from per-file metadata (record ``r`` of file
-    ``f`` is visited at round-robin position ``(r, f)``).
+    ``best`` is ``(first_ordinal, file_index)`` — the record's
+    round-robin position key (the reference visits record ``r`` of file
+    ``f`` at position ``(r, f)``, ``Sketch.cpp:1200-1270``) — or None
+    when no file had a valid record.
     """
-    p = engine.params
-    state, metas = _sketch_paths_fast(engine, files)
     count = sum(m.count for m in metas)
     skipped = any(m.skipped for m in metas)
     best = min(
@@ -177,6 +173,22 @@ def _sketch_reads_fast(engine: SketchEngine, files: List[str],
         ),
         default=None,
     )
+    return count, skipped, best
+
+
+def _sketch_reads_fast(engine: SketchEngine, files: List[str],
+                       first_name: str):
+    """Pooled reads-mode sketch over all files via the fast pipeline.
+
+    The bottom-s fold is order-independent, so files stream sequentially
+    instead of the reference's record round-robin
+    (``Sketch.cpp:1200-1270``); the first-record naming is reconstructed
+    in round-robin order from per-file metadata (see
+    :func:`_fast_pool_metas`).
+    """
+    p = engine.params
+    state, metas = _sketch_paths_fast(engine, files)
+    count, skipped, best = _fast_pool_metas(metas)
     is_stdin = first_name == ""
     if best is None:
         name, comment = first_name, ""
@@ -367,16 +379,7 @@ def init_from_reads(
         loc_name, loc_comment = "", ""
         if local_files and _fast_ingest_ok(params, local_files):
             state, metas = _sketch_paths_fast(engine, local_files)
-            count = sum(m.count for m in metas)
-            skipped = any(m.skipped for m in metas)
-            best = min(
-                (
-                    (m.first_ordinal, i)
-                    for i, m in enumerate(metas)
-                    if m.first_ordinal >= 0
-                ),
-                default=None,
-            )
+            count, skipped, best = _fast_pool_metas(metas)
             if best is not None:
                 m = metas[best[1]]
                 loc_name, loc_comment = m.name_comment(

@@ -193,6 +193,75 @@ def _window_offsets(batch_sorted, sub_min, sub_max, *, T, D, wblk, rw):
     return blk, rs, ok
 
 
+def count_batch_cond(
+    batch_sorted, dbh, dbl, sub_min, sub_max, counts,
+    D: int = D_TILE, wblk: int = WBLK, rw: int = RW,
+):
+    """Like :func:`count_batch`, but the certificate never reaches the
+    host: a failed batch routes to the exact sort tier *on device* via
+    ``lax.cond``.  Mid-stream ``bool(ok)`` readbacks stall the dispatch
+    pipeline on any hardware (and permanently poison the dev tunnel's
+    fast H2D path — see ``utils/tunnel.py``); this variant keeps the
+    whole stream readback-free, at the cost of forgoing the host-side
+    ``k_eff`` batch adaptation (certificate failures are statistically
+    unreachable for MurmurHash-uniform data, and the exact tier keeps
+    pathological batches correct).
+
+    Designed to be called inside jit.  Returns ``(counts', ok)`` with
+    ``ok`` a device scalar (accumulate it; read back once at finalize).
+    """
+    T_full = dbh.shape[0] * LANES // D
+    db_rows = D // LANES
+    n_rows = batch_sorted.shape[0] // LANES
+    interpret = jax.default_backend() != "tpu"
+    segs = []
+    ok = None
+    for t0 in range(0, T_full, MAX_SEG_TILES):
+        T = min(MAX_SEG_TILES, T_full - t0)
+        r0, r1 = t0 * db_rows, (t0 + T) * db_rows
+        blk, rs, seg_ok = _window_offsets(
+            batch_sorted, sub_min[r0:r1], sub_max[r0:r1],
+            T=T, D=D, wblk=wblk, rw=rw,
+        )
+        segs.append((T, r0, r1, blk, rs))
+        ok = seg_ok if ok is None else ok & seg_ok
+
+    def windowed(c):
+        wh, wl = _split_planes(batch_sorted)
+        whr = wh.reshape(n_rows, LANES)
+        wlr = wl.reshape(n_rows, LANES)
+        adds = []
+        for T, r0, r1, blk, rs in segs:
+            call = _build_count(T, n_rows, D, wblk, rw, interpret)
+            adds.append(
+                call(
+                    blk, rs.reshape(-1), dbh[r0:r1], dbl[r0:r1],
+                    whr, wlr, whr, wlr,
+                )
+            )
+        add = (
+            jnp.concatenate(adds, axis=0) if len(adds) > 1 else adds[0]
+        )
+        return c + add.reshape(-1).astype(c.dtype)
+
+    def exact(c):
+        # The 64-bit DB is rebuilt from the resident int32 planes (no
+        # extra HBM residency for a branch that never runs in practice).
+        from mash_tpu.ops.screen_ops import count_db_occurrences
+
+        hi = jax.lax.bitcast_convert_type(
+            dbh.reshape(-1), jnp.uint32
+        ).astype(jnp.uint64)
+        lo = jax.lax.bitcast_convert_type(
+            dbl.reshape(-1), jnp.uint32
+        ).astype(jnp.uint64)
+        db64 = (hi << jnp.uint64(32)) | lo
+        valid = batch_sorted != SENTINEL
+        return count_db_occurrences(batch_sorted, valid, db64, c)
+
+    return jax.lax.cond(ok, windowed, exact, counts), ok
+
+
 def prepare_db_planes(db_hashes: np.ndarray, D: int = D_TILE):
     """Host-side one-time prep: pad DB, split planes, subrow bounds.
 

@@ -233,7 +233,10 @@ class BigDBCounter:
 
     def __init__(self, params, db_hashes: np.ndarray, s: int,
                  chunk_len: int = 1 << 20, d_tile: int | None = None,
-                 wblk: int | None = None, rw: int | None = None):
+                 wblk: int | None = None, rw: int | None = None,
+                 deferred: bool | None = None):
+        import os
+
         from mash_tpu.ops import pallas_screen as ps
 
         self.ps = ps
@@ -289,6 +292,19 @@ class BigDBCounter:
         # clean flushes, k_eff doubles back toward K.
         self.RECOVER_AFTER = 4
         self._clean_streak = 0
+        # Deferred certificates (default): the per-flush coverage check
+        # stays on device (lax.cond routes failed batches to the exact
+        # tier there) and is read back ONCE at finalize — a per-flush
+        # ``bool(ok)`` sync would stall the dispatch pipeline and
+        # poison the dev tunnel's fast H2D path after the first flush.
+        # Eager mode (readback per flush + k_eff batch adaptation)
+        # remains for debugging/adaptive use: ``deferred=False`` or
+        # MASH_TPU_BIGDB_EAGER=1.
+        if deferred is None:
+            deferred = os.environ.get("MASH_TPU_BIGDB_EAGER") != "1"
+        self.deferred = deferred
+        self._nfail = jnp.zeros((), dtype=jnp.int32)
+        self._dstep = None
 
     def _prep_fn(self, length: int):
         fn = self._preps.get(length)
@@ -394,8 +410,44 @@ class BigDBCounter:
                         ),
                     ]
                 )
-            self._flush_batch(jnp.sort(slab))
+            if self.deferred:
+                self.counts, self._nfail = self._deferred_step()(
+                    self.counts, slab, self._nfail
+                )
+            else:
+                self._flush_batch(jnp.sort(slab))
             i += take
+
+    def _deferred_step(self):
+        """One-dispatch readback-free flush: sort + count + on-device
+        certificate/fallback cond + failure-count accumulate."""
+        if self._dstep is not None:
+            return self._dstep
+        ps = self.ps
+        dbh, dbl = self.dbh, self.dbl
+        sub_min, sub_max = self.sub_min, self.sub_max
+        D, wblk, rw = self.D, self.wblk, self.rw
+
+        @functools.partial(jax.jit, donate_argnums=(0, 2))
+        def step(counts, slab, nfail):
+            batch = jnp.sort(slab)
+            counts2, ok = ps.count_batch_cond(
+                batch, dbh, dbl, sub_min, sub_max, counts,
+                D, wblk, rw,
+            )
+            nfail = nfail + jnp.where(
+                ok, jnp.int32(0), jnp.int32(1)
+            )
+            return counts2, nfail
+
+        self._dstep = step
+        return step
+
+    def fallback_count(self) -> int:
+        """Total certificate failures so far (syncs in deferred mode)."""
+        if self.deferred:
+            return self._fallbacks + int(self._nfail)
+        return self._fallbacks
 
     def _flush_batch(self, batch) -> None:
         new_counts, ok = self.ps.count_batch(
@@ -435,6 +487,9 @@ class BigDBCounter:
 
     def finalize(self) -> np.ndarray:
         self.flush()
+        if self.deferred:
+            self._fallbacks += int(self._nfail)
+            self._nfail = jnp.zeros((), dtype=jnp.int32)
         out = np.asarray(self.counts)[: self.H].astype(np.uint32)
         if self.H and self.db_np[-1] == np.uint64(
             0xFFFFFFFFFFFFFFFF

@@ -550,7 +550,11 @@ struct Ingest {
 
     inline void pack_row(const uint8_t* src, uint8_t* dst) const {
 #if defined(__x86_64__)
-        static const bool has_avx2 = __builtin_cpu_supports("avx2");
+        // MASH_INGEST_NO_AVX2 forces the scalar path so CI on AVX2
+        // hosts can cross-check both implementations end-to-end
+        static const bool has_avx2 =
+            __builtin_cpu_supports("avx2") &&
+            !getenv("MASH_INGEST_NO_AVX2");
         if (has_avx2 && chunk_len % 32 == 0) {
             pack_row_avx2(src, dst);
             return;

@@ -73,7 +73,7 @@ def test_bigdb_counter_matches_reference(with_sentinel_db):
         # the CPU config is tuned so every batch passes the coverage
         # certificate; the TPU config (legal Mosaic block shapes with a
         # tiny H) deliberately trips it, exercising the exact fallback
-        assert counter._fallbacks == 0
+        assert counter.fallback_count() == 0
 
 
 def test_bigdb_counter_certificate_fallback():
@@ -103,7 +103,60 @@ def test_bigdb_counter_certificate_fallback():
     got = counter.finalize()
     exp = _expected_counts(db, [(h, v)])
     np.testing.assert_array_equal(got, exp)
-    assert counter._fallbacks >= 1
+    assert counter.fallback_count() >= 1
+
+
+def test_bigdb_deferred_matches_eager():
+    """Deferred (readback-free, on-device cond fallback) and eager
+    (per-flush certificate readback) modes count identically on a
+    mixed stream containing certificate-tripping batches."""
+    rng = np.random.default_rng(31)
+    H = 1500
+    # dense low range (so a clustered chunk trips coverage) + uniform
+    db = np.unique(
+        np.concatenate(
+            [
+                rng.integers(0, 3000, size=400, dtype=np.int64),
+                rng.integers(0, 2**63, size=H, dtype=np.int64),
+            ]
+        ).astype(np.uint64)
+    )
+    chunk_len = 1 << 12
+    chunks = []
+    for i in range(6):
+        if i == 2:  # pathological: all values in the dense low range
+            h = rng.integers(
+                0, 3000, size=chunk_len, dtype=np.int64
+            ).astype(np.uint64)
+        else:
+            h = rng.integers(
+                0, 2**63, size=chunk_len, dtype=np.int64
+            ).astype(np.uint64)
+            h[: chunk_len // 4] = db[
+                rng.choice(len(db), size=chunk_len // 4)
+            ]
+        v = rng.random(chunk_len) < 0.9
+        chunks.append((h, v))
+
+    params = default_nucleotide_params()
+    tpu = jax.default_backend() == "tpu"
+    kw = dict(
+        s=100, chunk_len=chunk_len,
+        d_tile=1024 if tpu else 256,
+        wblk=8 if tpu else 2, rw=2,
+    )
+    results = {}
+    fails = {}
+    for mode in (True, False):
+        counter = BigDBCounter(params, db, deferred=mode, **kw)
+        for h, v in chunks:
+            counter.add(jnp.asarray(h), jnp.asarray(v))
+        results[mode] = counter.finalize()
+        fails[mode] = counter.fallback_count()
+    exp = _expected_counts(db, chunks)
+    np.testing.assert_array_equal(results[True], exp)
+    np.testing.assert_array_equal(results[False], exp)
+    assert fails[True] >= 1  # the cond exact branch actually ran
 
 
 def test_bigdb_k_eff_recovers_after_clean_flushes():
@@ -124,6 +177,7 @@ def test_bigdb_k_eff_recovers_after_clean_flushes():
         d_tile=1024 if tpu else 256,
         wblk=8 if tpu else 2,
         rw=2,
+        deferred=False,  # k_eff adaptation is the eager-mode feature
     )
     counter.K = max(counter.K, 4)  # ensure there is room to recover
     counter.k_eff = counter.K

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import os
 import random
 
 import numpy as np
@@ -228,6 +229,64 @@ def test_packed_rows_reconstruct(pack_mode):
     validset = np.isin(e, np.frombuffer(b"ACGT", dtype=np.uint8))
     e = np.where(validset, e, 0)
     np.testing.assert_array_equal(got, e)
+
+
+@pytest.mark.parametrize("pack_mode", [1, 2])
+def test_pack_scalar_matches_avx2(tmp_path, pack_mode):
+    """The scalar (SWAR) pack path and the AVX2 path produce identical
+    rows.  CI runs on AVX2 hosts where the scalar fallback is otherwise
+    never exercised; MASH_INGEST_NO_AVX2 forces it in a subprocess (the
+    dispatch choice is latched per process)."""
+    import subprocess
+    import sys
+
+    rng = random.Random(77)
+    k = 21
+    chunk_len = 1 << 12
+    # mixed content: ACGT, lowercase, IUPAC/invalid neighbours of the
+    # valid codes (B after C, U after T, @ after A, ...) and binary junk
+    pieces = []
+    for i in range(40):
+        n = rng.randrange(100, 900)
+        seq = bytes(
+            rng.choice(b"ACGTacgtNBUu@`bdfhn\x00\xff") for _ in range(n)
+        )
+        pieces.append(b">r%d\n" % i + seq + b"\n")
+    data = b"".join(pieces)
+    f = tmp_path / "mix.fna"
+    f.write_bytes(data)
+
+    script = (
+        "import sys, numpy as np\n"
+        "sys.path.insert(0, %r)\n"
+        "from mash_tpu.native import NativeIngest\n"
+        "data = open(%r, 'rb').read()\n"
+        "ing = NativeIngest(%d, %d, %d)\n"
+        "rows = []\n"
+        "for i in range(0, len(data), 4096):\n"
+        "    r = ing.feed(data[i:i+4096])\n"
+        "    if r.shape[0]: rows.append(r)\n"
+        "r = ing.finish()\n"
+        "if r.shape[0]: rows.append(r)\n"
+        "np.concatenate(rows, axis=0).tofile(sys.argv[1])\n"
+    ) % (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        str(f), chunk_len, k, pack_mode,
+    )
+
+    outs = {}
+    for label, env_extra in (
+        ("avx2", {}),
+        ("scalar", {"MASH_INGEST_NO_AVX2": "1"}),
+    ):
+        out = tmp_path / ("rows_" + label + ".bin")
+        env = dict(os.environ, **env_extra)
+        subprocess.run(
+            [sys.executable, "-c", script, str(out)],
+            check=True, env=env,
+        )
+        outs[label] = out.read_bytes()
+    assert outs["avx2"] == outs["scalar"] and len(outs["avx2"]) > 0
 
 
 def test_packed_sketch_parity(tmp_path):

@@ -201,6 +201,12 @@ class CommandTaxScreen(Command):
 
         s = params.min_hashes_per_window
         k = params.kmer_size
+        from mash_tpu.utils import tunnel
+
+        # Fresh transfer epoch before the DB upload + read streaming
+        # (same reasoning as CommandScreen: the dev tunnel's H2D path
+        # is ~40x slower after any prior readback)
+        tunnel.new_transfer_epoch()
         fold, counts_dev, finalize_counts = (
             screen_ops.make_screen_fold_auto(params, db_hashes, s)
         )

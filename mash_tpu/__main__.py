@@ -71,7 +71,16 @@ def main(argv=None) -> int:
             return command.parse(argv[1:])
     except BrokenPipeError:
         return 0
-    except OSError as e:
+    except Exception as e:
+        from mash_tpu.io.capnp_msh import CorruptMshError
+
+        if isinstance(e, CorruptMshError):
+            # damaged .msh inputs get a diagnostic instead of a
+            # traceback (the reference exits via a capnp exception)
+            sys.stderr.write("ERROR: %s\n" % e)
+            return 1
+        if not isinstance(e, OSError):
+            raise
         # the reference reports unreadable inputs with cerr + exit(1)
         # (e.g. Sketch.cpp:195-199, CommandFind.cpp:131); claim
         # "for reading" for the read-path errnos incl. EACCES (the

@@ -42,14 +42,15 @@ def is_sketch_file(path: str, windowed: bool = False) -> bool:
     )
 
 
-def adopt_params_from_msh(params: SketchParams, path: str) -> int:
+def adopt_params_from_msh(params: SketchParams, path: str,
+                          data: bytes | None = None) -> int:
     """Adopt header parameters from a sketch file; returns reference count.
 
     Mirrors ``Sketch::initParametersFromCapnp`` (``Sketch.cpp:255-324``):
     copies k, error, sketch size, window size, flags, seed, counts presence
     and alphabet into ``params``.
     """
-    other, n = capnp_msh.read_msh_header(path)
+    other, n = capnp_msh.read_msh_header(path, data=data)
     params.kmer_size = other.kmer_size
     params.error = other.error
     params.min_hashes_per_window = other.min_hashes_per_window
@@ -229,16 +230,23 @@ def init_from_files(
 
     for i, path in enumerate(files):
         if is_sketch_file(path, params.windowed):
-            other, _ = capnp_msh.read_msh_header(path)
+            # one read serves header inspection, parameter adoption and
+            # the full load (multi-GB DB sketches must not be slurped
+            # three times; the reference mmaps once, Sketch.cpp:922)
+            with open(path, "rb") as f:
+                data = f.read()
+            other, _ = capnp_msh.read_msh_header(path, data=data)
             if i == 0 and not enforce_parameters:
-                adopt_params_from_msh(params, path)
+                adopt_params_from_msh(params, path, data=data)
             if not check_compatibility(
                 params, other, path, enforce_size=not contain
             ):
                 continue
             msh = capnp_msh.read_msh(
-                path, max_hashes=params.min_hashes_per_window
+                path, max_hashes=params.min_hashes_per_window,
+                data=data,
             )
+            del data
             for j, ref in enumerate(msh.references):
                 positions = None
                 if j < len(msh.position_hashes):

@@ -291,79 +291,119 @@ def _reference_list(root: _StructReader) -> List[_StructReader]:
     return []
 
 
-def read_msh_header(path: str) -> Tuple[SketchParams, int]:
-    """Parameters + reference count (``Sketch::initParametersFromCapnp``)."""
+def _load_bytes(path: str, data: Optional[bytes]) -> bytes:
+    if data is not None:
+        return data
     with open(path, "rb") as f:
-        data = f.read()
-    msg = _Message.from_bytes(data)
-    root = msg.root()
-    params = _decode_params(root)
-    refs = _reference_list(root)
-    params.counts = bool(refs) and refs[0].has_ptr(6)
+        return f.read()
+
+
+class CorruptMshError(ValueError):
+    """A ``.msh`` file whose capnp structure cannot be decoded."""
+
+
+def _corrupt(path: str, exc: Exception) -> "CorruptMshError":
+    return CorruptMshError(
+        "corrupt or truncated sketch file %s (%s: %s)"
+        % (path, type(exc).__name__, exc)
+    )
+
+
+# Low-level decode failures on damaged input surface as these; they are
+# re-raised as CorruptMshError naming the file (a truncated segment
+# table raises struct.error, a wild pointer IndexError, a list running
+# past its segment ValueError from numpy).
+_DECODE_ERRORS = (ValueError, IndexError, struct.error, OverflowError)
+
+
+def read_msh_header(
+    path: str, data: Optional[bytes] = None
+) -> Tuple[SketchParams, int]:
+    """Parameters + reference count (``Sketch::initParametersFromCapnp``).
+
+    ``data``: the file's bytes when the caller already read them
+    (avoids re-reading multi-GB sketch files for header+load flows).
+    """
+    data = _load_bytes(path, data)
+    try:
+        msg = _Message.from_bytes(data)
+        root = msg.root()
+        params = _decode_params(root)
+        refs = _reference_list(root)
+        params.counts = bool(refs) and refs[0].has_ptr(6)
+    except _DECODE_ERRORS as e:
+        raise _corrupt(path, e) from e
     return params, len(refs)
 
 
 def read_msh(
-    path: str, max_hashes: Optional[int] = None
+    path: str, max_hashes: Optional[int] = None,
+    data: Optional[bytes] = None,
 ) -> MshFile:
     """Full sketch load (``loadCapnp``, ``src/mash/Sketch.cpp:907-1067``).
 
     ``max_hashes``: truncate each reference to this many hashes (the
     caller's current sketch size), mirroring the load-time reduction.
+    ``data``: pre-read file bytes (see :func:`read_msh_header`).
     """
-    with open(path, "rb") as f:
-        data = f.read()
-    msg = _Message.from_bytes(data)
-    root = msg.root()
-    params = _decode_params(root)
-    ref_readers = _reference_list(root)
-    params.counts = bool(ref_readers) and ref_readers[0].has_ptr(6)
+    data = _load_bytes(path, data)
+    try:
+        msg = _Message.from_bytes(data)
+        root = msg.root()
+        params = _decode_params(root)
+        ref_readers = _reference_list(root)
+        params.counts = bool(ref_readers) and ref_readers[0].has_ptr(6)
+    except _DECODE_ERRORS as e:
+        raise _corrupt(path, e) from e
 
-    references = []
-    for r in ref_readers:
-        name = r.text(2)
-        comment = r.text(3)
-        length = r.u64(64)
-        if not length:
-            length = r.u32(0)
-        if params.use64:
-            hashes = r.scalar_list(5, np.uint64)
-        else:
-            hashes = r.scalar_list(4, np.uint32).astype(np.uint64)
-        if max_hashes is not None and len(hashes) > max_hashes:
-            hashes = hashes[:max_hashes]
-        counts = None
-        if r.has_ptr(6):
-            counts = r.scalar_list(6, np.uint32)[: len(hashes)]
-        references.append(
-            SketchRef(
-                name=name,
-                comment=comment,
-                length=int(length),
-                hashes=np.ascontiguousarray(hashes),
-                counts=counts,
-                counts_sorted=r.bool_(32),
-            )
-        )
-
-    position_hashes = [
-        np.empty(0, dtype=np.uint64) for _ in references
-    ]
-    locus_list = root.struct_field(1)
-    if locus_list is not None:
-        loci = locus_list.struct_list(0)
-        if loci:
-            by_ref = {}
-            for lr in loci:
-                si = lr.u32(0)
-                by_ref.setdefault(si, []).append(
-                    (lr.u32(32), lr.u64(128))
+    try:
+        references = []
+        for r in ref_readers:
+            name = r.text(2)
+            comment = r.text(3)
+            length = r.u64(64)
+            if not length:
+                length = r.u32(0)
+            if params.use64:
+                hashes = r.scalar_list(5, np.uint64)
+            else:
+                hashes = r.scalar_list(4, np.uint32).astype(np.uint64)
+            if max_hashes is not None and len(hashes) > max_hashes:
+                hashes = hashes[:max_hashes]
+            counts = None
+            if r.has_ptr(6):
+                counts = r.scalar_list(6, np.uint32)[: len(hashes)]
+            references.append(
+                SketchRef(
+                    name=name,
+                    comment=comment,
+                    length=int(length),
+                    hashes=np.ascontiguousarray(hashes),
+                    counts=counts,
+                    counts_sorted=r.bool_(32),
                 )
-            for si, items in by_ref.items():
-                if si < len(position_hashes):
-                    position_hashes[si] = np.array(
-                        items, dtype=np.uint64
+            )
+
+        position_hashes = [
+            np.empty(0, dtype=np.uint64) for _ in references
+        ]
+        locus_list = root.struct_field(1)
+        if locus_list is not None:
+            loci = locus_list.struct_list(0)
+            if loci:
+                by_ref = {}
+                for lr in loci:
+                    si = lr.u32(0)
+                    by_ref.setdefault(si, []).append(
+                        (lr.u32(32), lr.u64(128))
                     )
+                for si, items in by_ref.items():
+                    if si < len(position_hashes):
+                        position_hashes[si] = np.array(
+                            items, dtype=np.uint64
+                        )
+    except _DECODE_ERRORS as e:
+        raise _corrupt(path, e) from e
     return MshFile(params, references, position_hashes)
 
 

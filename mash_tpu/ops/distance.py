@@ -341,14 +341,7 @@ def stream_pair_stripes(
     nq = qry_h.shape[0]
     nr = ref_h.shape[0]
     empty = np.uint64(0xFFFFFFFFFFFFFFFF)
-
-    def padded(arr, mult, fill):
-        n = arr.shape[0]
-        m = ((n + mult - 1) // mult) * mult
-        if m == n:
-            return arr
-        pad = np.full((m - n,) + arr.shape[1:], fill, dtype=arr.dtype)
-        return np.concatenate([arr, pad], axis=0)
+    padded = _pad_rows_np
 
     # Rank-compress to uint32 keys on the single-device TPU path so
     # every tile runs the single-plane kernel (ranking costs two sorts
@@ -369,15 +362,18 @@ def stream_pair_stripes(
         Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
         Hq, Hr = rank_compress(Hqd, Hrd)
         del Hqd, Hrd
+    elif triangle:
+        # one lcm-padded upload serves both sides (ref IS qry here) —
+        # two independently padded copies would double the largest
+        # transfer and the device footprint
+        mult = row_block * tile_r // math.gcd(row_block, tile_r)
+        Hq = Hr = jnp.asarray(padded(qry_h, mult, empty))
+        Nq = Nr = jnp.asarray(padded(qry_n.astype(np.int32), mult, 0))
     else:
         Hq = jnp.asarray(padded(qry_h, row_block, empty))
         Nq = jnp.asarray(padded(qry_n.astype(np.int32), row_block, 0))
-        if triangle:
-            Hr = jnp.asarray(padded(qry_h, tile_r, empty))
-            Nr = jnp.asarray(padded(qry_n.astype(np.int32), tile_r, 0))
-        else:
-            Hr = jnp.asarray(padded(ref_h, tile_r, empty))
-            Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
+        Hr = jnp.asarray(padded(ref_h, tile_r, empty))
+        Nr = jnp.asarray(padded(ref_n.astype(np.int32), tile_r, 0))
 
     # All-full-sketch fast path: every real cell's denominator is cap
     # (the union walk of two full sketches always reaches cap), so the
@@ -434,6 +430,16 @@ def stream_pair_stripes(
         yield materialize(pend)
 
 
+def _pad_rows_np(arr, mult, fill):
+    """Pad ``arr`` along axis 0 to a multiple of ``mult`` with ``fill``."""
+    n = arr.shape[0]
+    m = ((n + mult - 1) // mult) * mult
+    if m == n:
+        return arr
+    pad = np.full((m - n,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
 def common_denom_tiled(
     qry_h,
     qry_n,
@@ -459,6 +465,13 @@ def common_denom_tiled(
             np.zeros(shape, dtype=np.int32),
             np.zeros(shape, dtype=np.int32),
         )
+    from mash_tpu.utils import tunnel
+
+    # Fresh transfer epoch before the tile uploads (callers pass host
+    # arrays after sketching, whose readbacks leave the dev tunnel's
+    # H2D path in the ~40x-slower regime; same reasoning as
+    # stream_pair_stripes above).
+    tunnel.new_transfer_epoch()
     if tile_q is None or tile_r is None:
         big = jax.default_backend() == "tpu"
         tile_q = tile_q or (4096 if big else 128)
@@ -481,17 +494,10 @@ def common_denom_tiled(
     common = np.zeros((nq, nr), dtype=np.int32)
     denom = np.zeros((nq, nr), dtype=np.int32)
 
-    def padded(arr, n, tile, fill):
-        m = ((n + tile - 1) // tile) * tile
-        if m == n:
-            return arr
-        pad = np.full((m - n,) + arr.shape[1:], fill, dtype=arr.dtype)
-        return np.concatenate([arr, pad], axis=0)
-
-    qh = padded(qry_h, nq, tile_q, np.uint64(0xFFFFFFFFFFFFFFFF))
-    qn = padded(qry_n, nq, tile_q, 0)
-    rh = padded(ref_h, nr, tile_r, np.uint64(0xFFFFFFFFFFFFFFFF))
-    rn = padded(ref_n, nr, tile_r, 0)
+    qh = _pad_rows_np(qry_h, tile_q, np.uint64(0xFFFFFFFFFFFFFFFF))
+    qn = _pad_rows_np(qry_n, tile_q, 0)
+    rh = _pad_rows_np(ref_h, tile_r, np.uint64(0xFFFFFFFFFFFFFFFF))
+    rn = _pad_rows_np(ref_n, tile_r, 0)
 
     for qi in range(0, qh.shape[0], tile_q):
         for ri in range(0, rh.shape[0], tile_r):

@@ -48,9 +48,41 @@ def maybe_init_distributed() -> bool:
 
     coord = os.environ.get("MASH_TPU_COORDINATOR")
     if not coord:
-        return False
-    n = int(os.environ["MASH_TPU_NUM_PROCESSES"])
-    pid = int(os.environ["MASH_TPU_PROCESS_ID"])
+        # Standard TPU-pod orchestration (no MASH_TPU_* vars): the pod
+        # runtime advertises its worker set; let jax auto-detect.  Only
+        # attempted when multiple workers are actually advertised —
+        # plain single-host runs must not pay an init attempt.  A
+        # failure here must NOT silently degrade N hosts into N
+        # independent full runs racing on the output, so it propagates.
+        hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        if "," not in hosts:
+            return False
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            if jax.process_count() <= 1:  # not already-initialized
+                raise
+        return True
+    n_s = os.environ.get("MASH_TPU_NUM_PROCESSES")
+    pid_s = os.environ.get("MASH_TPU_PROCESS_ID")
+    if n_s is None or pid_s is None:
+        raise SystemExit(
+            "ERROR: MASH_TPU_COORDINATOR is set but %s is missing "
+            "(a multi-process launch needs MASH_TPU_COORDINATOR, "
+            "MASH_TPU_NUM_PROCESSES and MASH_TPU_PROCESS_ID on every "
+            "host)."
+            % (
+                "MASH_TPU_NUM_PROCESSES"
+                if n_s is None
+                else "MASH_TPU_PROCESS_ID"
+            )
+        )
+    n = int(n_s)
+    pid = int(pid_s)
+    if not 0 <= pid < n:
+        raise SystemExit(
+            "ERROR: MASH_TPU_PROCESS_ID %d outside [0, %d)." % (pid, n)
+        )
     try:
         jax.distributed.initialize(
             coordinator_address=coord, num_processes=n, process_id=pid
@@ -103,13 +135,22 @@ def merge_states_across_hosts(state, s: int):
 
 
 def sum_counts_across_hosts(counts: np.ndarray) -> np.ndarray:
-    """Sum per-host screen count vectors (host numpy in, numpy out)."""
+    """Sum per-host screen count vectors (host numpy in, numpy out).
+
+    The cross-host sum can exceed the per-host dtype even though each
+    shard fits, so it runs in 64 bits and SATURATES at the dtype max
+    rather than wrapping (the reference's uint32 atomics would wrap,
+    but it has no multi-node mode to compare against —
+    ``CommandScreen.h:106``).
+    """
     if process_count() == 1:
         return counts
     from jax.experimental import multihost_utils
 
     g = multihost_utils.process_allgather(np.asarray(counts))
-    return g.sum(axis=0).astype(counts.dtype)
+    tot = np.asarray(g).astype(np.uint64).sum(axis=0)
+    lim = np.uint64(np.iinfo(counts.dtype).max)
+    return np.minimum(tot, lim).astype(counts.dtype)
 
 
 def reduce_meta_across_hosts(count: int, total_len: int,

@@ -115,3 +115,52 @@ def test_golden_reads_json_roundtrip(tmp_path, reference_test_dir):
     capnp_msh.write_msh(path, params, refs)
     m = capnp_msh.read_msh(path, max_hashes=params.min_hashes_per_window)
     assert json_dump(m.params, m.references) == golden
+
+
+def test_corrupt_msh_diagnostics(tmp_path):
+    """Damaged .msh files raise CorruptMshError naming the file, and
+    the CLI reports it as an ERROR line instead of a traceback."""
+    import contextlib
+    import io
+    import sys
+
+    from mash_tpu.__main__ import main
+
+    p = default_nucleotide_params()
+    path = str(tmp_path / "good.msh")
+    capnp_msh.write_msh(path, p, _toy_refs())
+    good = open(path, "rb").read()
+
+    cases = {
+        # header claims more segments than the file holds
+        "segtable": b"\x05\x00\x00\x00\x01\x00",
+        # truncated mid-message
+        "truncated": good[: max(8, len(good) // 3)],
+        # wild bytes after a valid segment count
+        "garbage": good[:8] + b"\xff" * 64,
+    }
+    for name, data in cases.items():
+        bad = tmp_path / ("%s.msh" % name)
+        bad.write_bytes(data)
+        with pytest.raises(capnp_msh.CorruptMshError) as ei:
+            capnp_msh.read_msh(str(bad))
+        assert str(bad) in str(ei.value)
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            rc = main(["info", str(bad)])
+        assert rc == 1
+        assert "ERROR:" in err.getvalue()
+        assert "corrupt or truncated" in err.getvalue()
+
+
+def test_read_msh_accepts_prefetched_bytes(tmp_path):
+    p = default_nucleotide_params()
+    path = str(tmp_path / "pref.msh")
+    capnp_msh.write_msh(path, p, _toy_refs())
+    data = open(path, "rb").read()
+    hdr, n = capnp_msh.read_msh_header(path, data=data)
+    m = capnp_msh.read_msh(path, data=data)
+    assert n == len(m.references) == 2
+    np.testing.assert_array_equal(
+        m.references[0].hashes, _toy_refs()[0].hashes
+    )

@@ -57,3 +57,25 @@ def test_merge_states_identity_and_allgather_primitive():
     np.testing.assert_array_equal(
         np.asarray(mh_state[0])[: len(exp)], exp
     )
+
+
+def test_maybe_init_distributed_env_validation(monkeypatch):
+    """Incomplete or inconsistent launch variables produce a clear
+    diagnostic, not a bare KeyError / opaque runtime error."""
+    import pytest
+
+    from mash_tpu.parallel import multihost as mh
+
+    monkeypatch.setenv("MASH_TPU_COORDINATOR", "localhost:1")
+    monkeypatch.delenv("MASH_TPU_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("MASH_TPU_PROCESS_ID", raising=False)
+    with pytest.raises(SystemExit, match="MASH_TPU_NUM_PROCESSES"):
+        mh.maybe_init_distributed()
+
+    monkeypatch.setenv("MASH_TPU_NUM_PROCESSES", "2")
+    with pytest.raises(SystemExit, match="MASH_TPU_PROCESS_ID"):
+        mh.maybe_init_distributed()
+
+    monkeypatch.setenv("MASH_TPU_PROCESS_ID", "5")
+    with pytest.raises(SystemExit, match="outside"):
+        mh.maybe_init_distributed()

@@ -65,8 +65,6 @@ def stream_fold(fold, counts, state, records, k, trans, chunk_len=1 << 20):
     and folds each through the device step.  Returns
     ``(counts, state, saw_any)``.
     """
-    from mash_tpu.ops import screen_ops
-
     saw_any = False
     for raw in _packed_chunks(records, k, chunk_len):
         saw_any = True
@@ -102,13 +100,18 @@ def stream_fold(fold, counts, state, records, k, trans, chunk_len=1 << 20):
 
 
 def stream_fold_fast(fold, counts, state, files, k, params,
-                     chunk_len=1 << 20, batch_rows=8):
+                     chunk_len=1 << 20, batch_rows=None):
     """Overlapped-ingest drive of a screen fold (raw or packed rows)."""
     import jax
 
+    from mash_tpu.core.loader import _fast_batch_rows
     from mash_tpu.io.ingest import IngestPipeline
     from mash_tpu.ops.kmers import unpack_chunks
 
+    if batch_rows is None:
+        # one batching policy for sketch and screen (32 rows on TPU,
+        # rounded to the local device count)
+        batch_rows = _fast_batch_rows()
     pack = 0
     if params.alphabet_string() == "ACGT":
         pack = 2 if params.preserve_case else 1
@@ -122,15 +125,18 @@ def stream_fold_fast(fold, counts, state, files, k, params,
     # (plain and big-DB tiers); per-row only as a fallback (the mesh-
     # sharded fold keeps its own per-chunk collective layout).
     fold_rows = getattr(fold, "fold_rows", None)
-    for batch in pipe.batches():
-        dev = jax.device_put(batch)
-        if unpack is not None:
-            dev = unpack(dev)
-        if fold_rows is not None:
-            counts, state = fold_rows(counts, state, dev)
-        else:
-            for r in range(batch_rows):
-                counts, state = fold(counts, state, dev[r])
+    try:
+        for batch in pipe.batches():
+            dev = jax.device_put(batch)
+            if unpack is not None:
+                dev = unpack(dev)
+            if fold_rows is not None:
+                counts, state = fold_rows(counts, state, dev)
+            else:
+                for r in range(batch_rows):
+                    counts, state = fold(counts, state, dev[r])
+    finally:
+        pipe.close()
     saw_any = any(m.count > 0 for m in pipe.metas)
     return counts, state, saw_any
 

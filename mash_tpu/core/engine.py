@@ -382,14 +382,34 @@ class SketchEngine:
         from mash_tpu.native import minmer_positions
 
         p = self.params
-        n = len(seq) - p.kmer_size + 1
+        k = p.kmer_size
+        n = len(seq) - k + 1
         assert n >= 1
-        bucket = self._bucket(len(seq))
-        data = seq + b"\x00" * (bucket - len(seq))
-        arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
-        if self.device is not None:
-            arr = jax.device_put(arr, self.device)
-        h = np.asarray(self._windowed_hash_fn(bucket)(arr))[:n]
+
+        def hash_piece(piece: bytes) -> np.ndarray:
+            bucket = self._bucket(len(piece))
+            data = piece + b"\x00" * (bucket - len(piece))
+            arr = jnp.asarray(np.frombuffer(data, dtype=np.uint8))
+            if self.device is not None:
+                arr = jax.device_put(arr, self.device)
+            m = len(piece) - k + 1
+            return np.asarray(self._windowed_hash_fn(bucket)(arr))[:m]
+
+        if len(seq) <= self.chunk_len:
+            h = hash_piece(seq)
+        else:
+            # chunk-sized pieces with k-1 overlap: the window hash at
+            # position i depends only on bytes [i, i+k), so the
+            # concatenated piece hashes equal the whole-sequence array
+            # — one compiled shape instead of a fresh executable (and a
+            # single giant readback) per distinct large-record size
+            step = self.chunk_len - (k - 1)
+            h = np.concatenate(
+                [
+                    hash_piece(seq[o : o + self.chunk_len])
+                    for o in range(0, n, step)
+                ]
+            )[:n]
         pos, hh = minmer_positions(h, p.window_size, p.sketch_size)
         return pos, hh
 
@@ -443,19 +463,24 @@ def sketch_records_exact(
         pending = None
         h = np.asarray(h_dev)
         v = np.asarray(v_dev)
-        for start, nwin in pbounds:
+        for start, nwin, is_start in pbounds:
             if stop:
                 break
-            count += 1
+            if is_start:
+                # -c early stop is checked at record granularity, as
+                # in the reference's per-read loop (Sketch.cpp:1258-62)
+                if (
+                    p.reads
+                    and p.target_cov > 0
+                    and count > 0
+                    and heap.multiplicity() >= p.target_cov
+                ):
+                    stop = True
+                    break
+                count += 1
             hh = h[start : start + nwin]
             vv = v[start : start + nwin]
             heap.insert(hh[vv])
-            if (
-                p.reads
-                and p.target_cov > 0
-                and heap.multiplicity() >= p.target_cov
-            ):
-                stop = True
 
     def flush():
         # double-buffer: dispatch this chunk's hashing, then drain the
@@ -484,15 +509,32 @@ def sketch_records_exact(
                 comment = rec.name + " " + (rec.comment or "")
         if not p.reads:
             total_len += len(rec.seq)
-        if buf and len(buf) + len(rec.seq) + 1 > engine.chunk_len:
-            flush()
-            if stop:
-                break
-        if buf:
-            buf.append(0)
-        start = len(buf)
-        buf += rec.seq
-        bounds.append((start, len(rec.seq) - k + 1))
+        # records longer than the chunk split into chunk-sized pieces
+        # with k-1 overlap: window order and count are preserved (the
+        # overlap re-covers the boundary windows exactly once), and the
+        # device only ever compiles/pads the single chunk-length shape
+        # instead of one fresh executable per giant-record size
+        seq = rec.seq
+        if len(seq) <= engine.chunk_len:
+            pieces = [seq]
+        else:
+            step = engine.chunk_len - (k - 1)
+            pieces = [
+                seq[o : o + engine.chunk_len]
+                for o in range(0, len(seq) - k + 1, step)
+            ]
+        for pi, piece in enumerate(pieces):
+            if buf and len(buf) + len(piece) + 1 > engine.chunk_len:
+                flush()
+                if stop:
+                    break
+            if buf:
+                buf.append(0)
+            start = len(buf)
+            buf += piece
+            bounds.append((start, len(piece) - k + 1, pi == 0))
+        if stop:
+            break
     if not stop:
         flush()
         drain()
@@ -525,6 +567,7 @@ def sketch_records_individual(
     records,
     rows: int = 16,
     wave_bytes: int = 64 << 20,
+    stats: dict | None = None,
 ):
     """Yield one SketchRef per record (len >= k), batched on device.
 
@@ -536,8 +579,6 @@ def sketch_records_individual(
     with bounded memory; records longer than the engine chunk length
     fall back to the chunked per-record fold.
     """
-    import jax.numpy as jnp
-
     p = engine.params
     k = p.kmer_size
     s = p.sketch_size
@@ -609,6 +650,10 @@ def sketch_records_individual(
     idx = 0
     for rec in records:
         if len(rec.seq) < k:
+            # report skips so the caller can distinguish "all records
+            # too short" from "no records at all" (concat path parity)
+            if stats is not None:
+                stats["skipped"] = True
             continue
         wave.append((idx, rec))
         wave_sz += len(rec.seq)

@@ -130,9 +130,13 @@ def _sketch_paths_fast(engine: SketchEngine, paths: List[str]):
     pipe = IngestPipeline(
         paths, p.kmer_size, engine.chunk_len, rows, pack_mode=pack
     )
-    state = engine.fold_batches(
-        engine.empty_state(), pipe.batches(), rows, packed=bool(pack)
-    )
+    try:
+        state = engine.fold_batches(
+            engine.empty_state(), pipe.batches(), rows,
+            packed=bool(pack),
+        )
+    finally:
+        pipe.close()
     return state, pipe.metas
 
 
@@ -296,13 +300,23 @@ def init_from_files(
                         sketch_records_individual,
                     )
 
+                    stats: dict = {}
                     for ref in sketch_records_individual(
-                        engine, read_fastx(path)
+                        engine, read_fastx(path), stats=stats
                     ):
                         any_record = True
                         sketch_set.add(ref)
                     if not any_record:
-                        err.write("\nERROR: reading %s.\n" % path)
+                        if stats.get("skipped"):
+                            err.write(
+                                "\nWARNING: All fasta records in %s "
+                                "were shorter than the k-mer size "
+                                "(%d).\n" % (path, params.kmer_size)
+                            )
+                        else:
+                            err.write(
+                                "\nERROR: reading %s.\n" % path
+                            )
                         raise SystemExit(1)
                     continue
                 for rec in read_fastx(path):

@@ -198,12 +198,24 @@ class IngestPipeline:
                 yield b
         finally:
             # unblock the producer if we are abandoned mid-stream
-            self._abandoned = True
-            while True:
-                try:
-                    self._q.get_nowait()
-                except queue.Empty:
-                    break
+            self.close()
+
+    def close(self) -> None:
+        """Abandon the stream: unblock and stop the producer (idempotent).
+
+        Consumers call this in a ``finally`` block — a generator that
+        is never iterated runs no ``finally`` of its own, so an error
+        raised between pipeline construction and the first batch would
+        otherwise leave the producer thread spinning on a full queue
+        with its input file open for the life of the process.
+        """
+        self._abandoned = True
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=2.0)
 
 
 def ingest_available() -> bool:

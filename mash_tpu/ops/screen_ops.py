@@ -311,6 +311,10 @@ class BigDBCounter:
         if fn is not None:
             return fn
         chunk_len = self.chunk_len
+        # oversized chunks (a record longer than chunk_len packed
+        # whole) span several rows; pad to the row multiple so flush's
+        # row accounting covers every hash
+        rows = max(1, -(-length // chunk_len))
 
         @jax.jit
         def prep(h, v):
@@ -319,27 +323,28 @@ class BigDBCounter:
                 v & (h == jnp.uint64(0xFFFFFFFFFFFFFFFF)),
                 dtype=jnp.int32,
             )
-            if hm.shape[0] < chunk_len:
+            if hm.shape[0] < rows * chunk_len:
                 hm = jnp.concatenate(
                     [
                         hm,
                         jnp.full(
-                            chunk_len - hm.shape[0],
+                            rows * chunk_len - hm.shape[0],
                             jnp.uint64(0xFFFFFFFFFFFFFFFF),
                         ),
                     ]
                 )
             return hm, sent
 
-        self._preps[length] = prep
-        return prep
+        self._preps[length] = (prep, rows)
+        return prep, rows
 
     def add(self, h, v) -> None:
         """Queue one hashed chunk (device arrays from hash_chunk)."""
-        hm, sent = self._prep_fn(int(h.shape[0]))(h, v)
+        prep, rows = self._prep_fn(int(h.shape[0]))
+        hm, sent = prep(h, v)
         self._sent_valid = self._sent_valid + sent
         self.pending.append(hm)
-        self._pending_rows += 1
+        self._pending_rows += rows
         if self._pending_rows >= self.k_eff:
             self.flush()
 

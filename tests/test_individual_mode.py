@@ -74,3 +74,22 @@ def test_individual_cli_roundtrip(tmp_path):
         1 for r in read_fastx(str(f)) if len(r.seq) >= 21
     )
     assert body.count("ctg") >= n_expected
+
+
+def test_individual_mode_all_short_records_warns(tmp_path, capsys):
+    """-i on a file whose records are all shorter than k reports the
+    same WARNING as the concat path, not a generic read error."""
+    import pytest
+
+    from mash_tpu.core.loader import init_from_files
+    from mash_tpu.core.params import default_nucleotide_params
+
+    f = tmp_path / "short.fna"
+    f.write_text(">a\nACGT\n>b\nGGG\n")
+    params = default_nucleotide_params()
+    params.concatenated = False  # individual mode
+    with pytest.raises(SystemExit):
+        init_from_files([str(f)], params)
+    err = capsys.readouterr().err
+    assert "shorter than the k-mer size" in err
+    assert "ERROR: reading" not in err

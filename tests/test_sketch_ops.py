@@ -113,3 +113,28 @@ def test_estimators():
     assert sketch_ops.estimate_multiplicity(st) == 2.0
     est = sketch_ops.estimate_set_size(st)
     assert est == (2.0 ** 64) * 4 / 40.0
+
+
+def test_sentinel_valued_hash_keeps_prefix_invariant():
+    """A real hash equal to the empty-slot sentinel (2^64-1) must keep
+    its count in the first slot of its run, so the count>0 entries form
+    a sorted prefix (state_to_ref slices h[:n])."""
+    import jax.numpy as jnp
+
+    h = np.array(
+        [5, 7, 0xFFFFFFFFFFFFFFFF, 7, 5], dtype=np.uint64
+    )
+    v = np.ones(5, dtype=bool)
+    sh, sc = sketch_ops.sketch_chunk_batch(
+        jnp.asarray(h)[None], jnp.asarray(v)[None], s=10, use64=True
+    )
+    counts = np.asarray(sc[0])
+    hashes = np.asarray(sh[0])
+    n = int((counts > 0).sum())
+    assert n == 3
+    np.testing.assert_array_equal(
+        hashes[:n],
+        np.array([5, 7, 0xFFFFFFFFFFFFFFFF], dtype=np.uint64),
+    )
+    np.testing.assert_array_equal(counts[:n], [2, 2, 1])
+    assert (counts[n:] == 0).all()

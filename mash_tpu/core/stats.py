@@ -24,9 +24,11 @@ from scipy.stats import binom
 
 
 def mash_distance(common: int, denom: int, kmer_size: int) -> float:
-    """Distance for one pair (``CommandDistance.cpp:387-407``)."""
-    if denom == 0:
-        return 1.0
+    """Distance for one pair (``CommandDistance.cpp:387-407``).
+
+    Check order matches the reference: ``common == denom`` first, so a
+    0/0 pair (two empty sketches) is distance 0, not 1.
+    """
     if common == denom:  # avoid -0
         return 0.0
     if common == 0:  # avoid inf
@@ -44,9 +46,9 @@ def mash_distance_array(common, denom, kmer_size: int):
         jac = common / denom
         d = -np.log(2.0 * jac / (1.0 + jac)) / kmer_size
     d = np.minimum(d, 1.0)
-    d = np.where(common == denom, 0.0, d)
+    # reference check order: common == denom wins, so 0/0 -> 0
     d = np.where(common == 0, 1.0, d)
-    d = np.where(denom == 0, 1.0, d)
+    d = np.where(common == denom, 0.0, d)
     return d
 
 

@@ -60,42 +60,41 @@ _NON_QUAL = bytes(c for c in range(256) if c < 33 or c > 127)
 
 
 def parse_fastx(stream) -> Iterator[Record]:
-    """Parse an open binary stream of FASTA or FASTQ records."""
+    """Parse an open binary stream of FASTA or FASTQ records.
+
+    kseq ends a sequence at any of '>', '+' or '@' (``kseq.h:183``):
+    a '+' introduces a quality section sized by the sequence (even
+    after a '>' header), and a header marker ends the record directly
+    (a truncated FASTQ record missing its '+' line must not swallow
+    the next record into its sequence).
+    """
     line = stream.readline()
     # skip leading blank lines
     while line and line.strip() == b"":
         line = stream.readline()
     while line:
-        marker = line[:1]
-        if marker == b">":
-            header = line[1:].rstrip(b"\r\n")
-            parts = []
+        if line[:1] not in (b">", b"@"):
+            # garbage line outside a record; mirror kseq by scanning
+            # for the next marker
             line = stream.readline()
-            while line and line[:1] not in (b">", b"@"):
-                s = line.translate(None, _NON_GRAPH)
-                if s:
-                    parts.append(s)
-                line = stream.readline()
-            yield _make_record(header, b"".join(parts))
-        elif marker == b"@":
-            header = line[1:].rstrip(b"\r\n")
-            parts = []
+            continue
+        header = line[1:].rstrip(b"\r\n")
+        parts = []
+        line = stream.readline()
+        while line and line[:1] not in (b">", b"@", b"+"):
+            s = line.translate(None, _NON_GRAPH)
+            if s:
+                parts.append(s)
             line = stream.readline()
-            while line and line[:1] != b"+":
-                parts.append(line.translate(None, _NON_GRAPH))
-                line = stream.readline()
-            seq = b"".join(parts)
+        seq = b"".join(parts)
+        if line and line[:1] == b"+":
             # quality: read as many qualifying bytes as the sequence
             qlen = 0
             line = stream.readline()
             while line and qlen < len(seq):
                 qlen += len(line.translate(None, _NON_QUAL))
                 line = stream.readline()
-            yield _make_record(header, seq)
-        else:
-            # Garbage line outside a record; mirror kseq by scanning for
-            # the next marker.
-            line = stream.readline()
+        yield _make_record(header, seq)
 
 
 def _make_record(header: bytes, seq: bytes) -> Record:

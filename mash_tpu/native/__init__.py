@@ -102,17 +102,6 @@ def load_library() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             i64,
         ]
-        lib.mash_fastx_parse.restype = i64
-        lib.mash_fastx_parse.argtypes = [
-            ctypes.c_void_p,
-            i64,
-            ctypes.c_void_p,
-            i64,
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            ctypes.c_void_p,
-            i64,
-        ]
         lib.mash_ingest_create.restype = p
         lib.mash_ingest_create.argtypes = [i64, i64, i64]
         lib.mash_ingest_destroy.argtypes = [p]
@@ -429,40 +418,3 @@ class NativeIngest:
             self._lib.mash_ingest_destroy(self._g)
             self._g = None
 
-
-def parse_fastx_buffer(data: bytes):
-    """Parse a decompressed FASTA/FASTQ buffer with the native parser.
-
-    Returns (packed_seq_bytes, seq_lens, headers) or None if the native
-    library is unavailable.
-    """
-    lib = load_library()
-    if lib is None:
-        return None
-    n = len(data)
-    buf = np.frombuffer(data, dtype=np.uint8)
-    seq_out = np.empty(n, dtype=np.uint8)
-    max_rec = n // 2 + 2
-    seq_len = np.empty(max_rec, dtype=np.int64)
-    hdr_off = np.empty(max_rec, dtype=np.int64)
-    hdr_len = np.empty(max_rec, dtype=np.int64)
-    nrec = lib.mash_fastx_parse(
-        buf.ctypes.data,
-        n,
-        seq_out.ctypes.data,
-        n,
-        seq_len.ctypes.data,
-        hdr_off.ctypes.data,
-        hdr_len.ctypes.data,
-        max_rec,
-    )
-    if nrec < 0:
-        return None
-    seq_len = seq_len[:nrec]
-    headers = [
-        data[hdr_off[i] : hdr_off[i] + hdr_len[i]].decode(
-            "utf-8", "replace"
-        )
-        for i in range(nrec)
-    ]
-    return seq_out[: int(seq_len.sum())].tobytes(), seq_len, headers

@@ -476,7 +476,9 @@ def sketch_chunks_pallas(
         return plain()
 
     m = sketch_ops.candidate_budget(s, C, n)
-    if m > 3 * C // 4 or 3 * m + 2 > _OUT_W:
+    # the packed-output budget is the binding constraint (m > 3C/4
+    # would need m > 1536, far beyond what 3m+2 <= _OUT_W=128 allows)
+    if 3 * m + 2 > _OUT_W:
         return plain()
 
     seq = uppercase(chunks, preserve_case)

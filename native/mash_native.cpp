@@ -178,6 +178,9 @@ struct ExactHeap {
 
 void* mash_heap_create(uint64_t cap, uint32_t min_cov,
                        uint64_t bloom_bytes, int use64) {
+    // cap == 0 would read q.top() on an empty priority queue in
+    // try_insert (UB); the CLI never requests it (sketch size >= 1)
+    if (cap == 0) return nullptr;
     return new ExactHeap(cap, min_cov, bloom_bytes, use64 != 0);
 }
 
@@ -245,90 +248,6 @@ int64_t mash_heap_extract(void* hp, uint64_t* out_h, uint32_t* out_c,
 }
 
 // ---------------------------------------------------------------------------
-// FASTA/FASTQ parsing over a decompressed buffer.
-//
-// Produces: packed sequence bytes (records back-to-back, no separators —
-// the Python side inserts 0x00 separators when chunking), per-record
-// sequence lengths, and header (name+comment) spans into the input.
-// ---------------------------------------------------------------------------
-
-int64_t mash_fastx_parse(const uint8_t* data, int64_t n,
-                         uint8_t* seq_out, int64_t seq_cap,
-                         int64_t* seq_len, int64_t* hdr_off,
-                         int64_t* hdr_len, int64_t max_records) {
-    int64_t i = 0;
-    int64_t nrec = 0;
-    int64_t seq_pos = 0;
-
-    while (i < n) {
-        // find a record marker at line start
-        uint8_t c = data[i];
-        if (c != '>' && c != '@') {
-            while (i < n && data[i] != '\n') i++;
-            i++;
-            continue;
-        }
-        bool fastq = (c == '@');
-        int64_t hs = i + 1;
-        while (i < n && data[i] != '\n') i++;
-        int64_t he = i;
-        if (he > hs && data[he - 1] == '\r') he--;
-        i++;  // past newline
-        if (nrec >= max_records) return -1;
-        hdr_off[nrec] = hs;
-        hdr_len[nrec] = he - hs;
-
-        int64_t len = 0;
-        if (!fastq) {
-            while (i < n && data[i] != '>' && data[i] != '@') {
-                int64_t ls = i;
-                while (i < n && data[i] != '\n') i++;
-                int64_t le = i;
-                if (le > ls && data[le - 1] == '\r') le--;
-                if (le > ls) {
-                    if (seq_pos + (le - ls) > seq_cap) return -2;
-                    memcpy(seq_out + seq_pos, data + ls, le - ls);
-                    seq_pos += le - ls;
-                    len += le - ls;
-                }
-                i++;
-            }
-        } else {
-            // sequence lines until '+'
-            while (i < n && data[i] != '+') {
-                int64_t ls = i;
-                while (i < n && data[i] != '\n') i++;
-                int64_t le = i;
-                if (le > ls && data[le - 1] == '\r') le--;
-                if (le > ls) {
-                    if (seq_pos + (le - ls) > seq_cap) return -2;
-                    memcpy(seq_out + seq_pos, data + ls, le - ls);
-                    seq_pos += le - ls;
-                    len += le - ls;
-                }
-                i++;
-            }
-            // skip '+' line
-            while (i < n && data[i] != '\n') i++;
-            i++;
-            // skip quality: as many bytes as the sequence
-            int64_t q = 0;
-            while (i < n && q < len) {
-                int64_t ls = i;
-                while (i < n && data[i] != '\n') i++;
-                int64_t le = i;
-                if (le > ls && data[le - 1] == '\r') le--;
-                q += le - ls;
-                i++;
-            }
-        }
-        seq_len[nrec] = len;
-        nrec++;
-    }
-    return nrec;
-}
-
-// ---------------------------------------------------------------------------
 // Fast "%.6g" Mash-distance text formatting for streamed triangle/dist
 // tiles.  A 100k-genome PHYLIP matrix is ~5e9 cells; per-cell printf on
 // the Python side would dominate wall-clock.  Cells arrive packed as
@@ -357,7 +276,8 @@ struct DistFormatter {
     }
 
     inline double dist(uint32_t c, uint32_t d) const {
-        if (d == 0) return 1.0;
+        // check order matches the reference (CommandDistance.cpp:
+        // 389-397): common == denom FIRST, so 0/0 -> distance 0
         if (c == d) return 0.0;
         if (c == 0) return 1.0;
         double j = (double)c / (double)d;
@@ -656,17 +576,18 @@ struct Ingest {
     // printable non-space characters (isgraph: 33..126) are part of a
     // sequence (src/mash/kseq.h:184-190); newlines, CR, spaces, tabs
     // and control bytes are dropped wherever they appear.  Returns
-    // bytes consumed; stops (without consuming) at a record marker at
-    // a line start (kseq itself ends sequences at '>'/'+'/'@' found
-    // ANYWHERE; real sequences never contain them, and line-start
-    // detection matches the Python parser).
-    inline int64_t consume_seq(const uint8_t* data, int64_t n,
-                               bool fasta) {
+    // bytes consumed; stops (without consuming) at any of kseq's THREE
+    // sequence terminators '>'/'+'/'@' (kseq.h:183) at a line start,
+    // regardless of this record's own format — a truncated FASTQ
+    // record missing its '+' line must not swallow the next '@' record
+    // into its sequence.  (kseq checks the terminators ANYWHERE; real
+    // sequences never contain them, and line-start detection matches
+    // the Python parser.)
+    inline int64_t consume_seq(const uint8_t* data, int64_t n) {
         int64_t i = 0;
         while (i < n) {
             uint8_t c = data[i];
-            if (line_start &&
-                (fasta ? (c == '>' || c == '@') : (c == '+'))) {
+            if (line_start && (c == '>' || c == '@' || c == '+')) {
                 return i;
             }
             if (c >= 33 && c <= 126) {
@@ -783,20 +704,20 @@ int64_t mash_ingest_feed(void* pv, const uint8_t* data, int64_t n,
             }
             break;
         }
-        case Ingest::FASTA_SEQ: {
-            int64_t used = g.consume_seq(data + i, n - i, true);
-            i += used;
-            if (i < n) {  // hit a marker: record done
-                g.end_record();
-                g.st = Ingest::MARKER;
-            }
-            break;
-        }
+        case Ingest::FASTA_SEQ:
         case Ingest::FASTQ_SEQ: {
-            int64_t used = g.consume_seq(data + i, n - i, false);
+            // one kseq-faithful path for both formats: '+' leads to a
+            // quality section sized by the sequence; '>'/'@' ends the
+            // record (a FASTQ record whose '+' line is missing)
+            int64_t used = g.consume_seq(data + i, n - i);
             i += used;
-            if (i < n) {  // '+' line
-                g.st = Ingest::FASTQ_PLUS;
+            if (i < n) {
+                if (data[i] == '+') {
+                    g.st = Ingest::FASTQ_PLUS;
+                } else {
+                    g.end_record();
+                    g.st = Ingest::MARKER;
+                }
             }
             break;
         }

@@ -378,3 +378,37 @@ def test_ingest_rejects_out_of_range_k():
     with pytest.raises(RuntimeError):
         NativeIngest(1 << 12, 0)
     NativeIngest(1 << 12, 64)  # boundary ok
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        # truncated FASTQ: first record missing its '+' line — the
+        # next '@' header must start a new record (kseq.h:183), not be
+        # swallowed into the sequence
+        b"@r1\nACGTACGTACGTACGTACGTACGT\n"
+        b"@r2\nAAAACCCCGGGGTTTTAAAACCCC\n+\nIIIIIIIIIIIIIIIIIIIIIIII\n",
+        # '+' line after a FASTA record: kseq reads a quality section
+        # sized by the sequence, then resumes at the next marker
+        b">a\nACGTACGTACGTACGTACGTACGTACGT\n+\n"
+        b"IIIIIIIIIIIIIIIIIIIIIIIIIIII\n>b\nCCCCGGGGTTTTAAAACCCCGGGGTTTT\n",
+        # FASTA record terminated by an '@' header (format switch)
+        b">a\nACGTACGTACGTACGTACGTACGTACGT\n"
+        b"@r\nAAAACCCCGGGGTTTTAAAACCCCGGGG\n+\n"
+        b"IIIIIIIIIIIIIIIIIIIIIIIIIIII\n",
+    ],
+    ids=["fastq-missing-plus", "fasta-plus-line", "fasta-then-fastq"],
+)
+def test_ingest_malformed_records_match_python(data):
+    """kseq's three sequence terminators on malformed input: the
+    native ingest and the Python parser must agree (both yield two
+    records; headers never leak into sequences)."""
+    k = 21
+    chunk_len = 1 << 10
+    exp_rows, exp_meta = _reference_rows(data, k, chunk_len)
+    got_rows, ing = _ingest_rows(data, k, chunk_len, 13)
+    assert ing.count == exp_meta["count"] == 2
+    assert ing.total_len == exp_meta["total_len"]
+    assert _kmer_multiset(got_rows, k, chunk_len) == _kmer_multiset(
+        exp_rows, k, chunk_len
+    )

@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from mash_tpu.native import ExactHeap, load_library, parse_fastx_buffer
+from mash_tpu.native import ExactHeap, load_library
 from mash_tpu.native.pyheap import PyExactHeap
 
 
@@ -82,24 +82,6 @@ def test_heap_bloom_mode():
     np.testing.assert_array_equal(h, [9])
     # first copy absorbed by the bloom filter; enters with count 2, then +1
     np.testing.assert_array_equal(c, [3])
-
-
-def test_native_parser_matches_python(reference_test_dir):
-    from mash_tpu.io.fastx import read_fastx
-
-    data = (reference_test_dir / "reads1.fastq").read_bytes()
-    out = parse_fastx_buffer(data)
-    assert out is not None
-    packed, lens, headers = out
-    py_records = list(read_fastx(str(reference_test_dir / "reads1.fastq")))
-    assert len(lens) == len(py_records)
-    off = 0
-    for i, rec in enumerate(py_records):
-        assert lens[i] == len(rec.seq)
-        assert packed[off : off + lens[i]] == rec.seq
-        name_comment = (rec.name + " " + rec.comment).strip()
-        assert headers[i] == name_comment or headers[i] == rec.name
-        off += lens[i]
 
 
 def test_exact_cli_min_cov(tmp_path, reference_test_dir):
@@ -184,3 +166,23 @@ def test_exact_counts_histogram(tmp_path, reference_test_dir):
     assert len(lines) > 1
     total = sum(int(l.split("\t")[2]) for l in lines[1:])
     assert total == 1000
+
+
+def test_dist_zero_zero_pair_is_distance_zero():
+    """common == denom is checked FIRST (CommandDistance.cpp:389): two
+    empty sketches (0/0) are distance 0, in both the native formatter
+    and the numpy path."""
+    import numpy as np
+
+    from mash_tpu.core import stats
+    from mash_tpu.native import DistFormatter
+
+    fmt = DistFormatter(21, 1000)
+    out = fmt.phylip_cells(np.array([0], dtype=np.uint32))
+    assert out == b"\t0"
+
+    d = stats.mash_distance_array(
+        np.array([0, 0, 5]), np.array([0, 7, 5]), 21
+    )
+    np.testing.assert_array_equal(d, [0.0, 1.0, 0.0])
+    assert stats.mash_distance(0, 0, 21) == 0.0

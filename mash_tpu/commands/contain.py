@@ -62,6 +62,14 @@ class CommandContain(Command):
 
         err = sys.stderr
         out = sys.stdout
+        from mash_tpu.parallel import multihost as mh
+
+        # small-output command: rank 0 computes and writes everything
+        # (multi-process launches init jax.distributed for ALL
+        # commands; without this gate every host would duplicate the
+        # full output)
+        if mh.process_count() > 1 and mh.process_index() != 0:
+            return 0
         params = sketch_parameter_setup(self)
         if params is None:
             return 1

@@ -142,8 +142,12 @@ class CommandDistance(Command):
 
         sketch_ref = init_from_files([file_reference], params)
 
+        # the reference derives the threshold from the SKETCH's kmer
+        # space (adopted from .msh inputs), not the CLI defaults
+        # (CommandDistance.cpp:117: sketchRef.getKmerSpace())
         length_threshold = (
-            params.warning * params.kmer_space / (1.0 - params.warning)
+            params.warning * sketch_ref.params.kmer_space
+            / (1.0 - params.warning)
         )
         warning_count = 0
         length_max = 0
@@ -305,6 +309,13 @@ class CommandDistance(Command):
                 )
         elif not distributed or mh.process_index() == 0:
             # small outputs: rank 0 computes and writes everything
+            if n_cells > STREAM_MIN_CELLS:
+                err.write(
+                    "WARNING: sketch size %d disables the streamed "
+                    "path (needs < 65536); this run holds the full "
+                    "%dx%d matrix in memory.\n"
+                    % (cap, len(queries), len(refs))
+                )
             common, denom = common_denom_tiled(
                 qry_h, qry_n, ref_h, ref_n, cap,
                 use64=sketch_ref.params.use64,

@@ -26,7 +26,6 @@ from mash_tpu.core.loader import (
 )
 from mash_tpu.io.fastx import read_fastx
 from mash_tpu.io.formatting import cpp_double
-from mash_tpu.native import minmer_positions
 
 # complement used by find's minus strand: ACGT only, others unchanged
 # (``CommandFind.cpp:259-266`` switch)
@@ -109,8 +108,16 @@ class CommandFind(Command):
 
         err = sys.stderr
         out = sys.stdout
+        from mash_tpu.parallel import multihost as mh
+
+        # rank-0 output gate (see CommandContain.run)
+        if mh.process_count() > 1 and mh.process_index() != 0:
+            return 0
         threshold = self.get_option("threshold").get_argument_as_number()
         best = int(self.get_option("best").get_argument_as_number())
+        if best < 0:
+            err.write("ERROR: The argument to -b cannot be negative.\n")
+            return 1
         self_matches = not self.get_option("self").active
 
         params = sketch_parameter_setup(self)
@@ -137,6 +144,11 @@ class CommandFind(Command):
                     return 1
         else:
             factor = self.get_option("factor").get_argument_as_number()
+            if factor <= 0:
+                err.write(
+                    "ERROR: The argument to -f must be positive.\n"
+                )
+                return 1
             window_size = int(
                 self.get_option("window").get_argument_as_number()
             )
@@ -150,8 +162,6 @@ class CommandFind(Command):
         sketch = init_from_files([file_reference], params)
         loci_by_hash = sketch.loci_by_hash()
         k = sketch.params.kmer_size
-        window_size = sketch.params.window_size
-        mins = sketch.params.min_hashes_per_window
 
         qparams = sketch.params.copy()
         engine = SketchEngine(qparams)

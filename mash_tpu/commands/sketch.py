@@ -137,8 +137,11 @@ class CommandSketch(Command):
         length_max_name = ""
         random_chance = 0.0
         k_min = 0
+        # adopted kmer space, as in the reference
+        # (CommandSketch.cpp:114: sketch.getKmerSpace())
         threshold = (
-            params.warning * params.kmer_space / (1.0 - params.warning)
+            params.warning * sketch_set.params.kmer_space
+            / (1.0 - params.warning)
         )
         for i, ref in enumerate(sketch_set.references):
             if ref.length > threshold:

@@ -156,7 +156,10 @@ class CommandTriangle(Command):
             if not saw_zero_common and np.any(sub & (common == 0)):
                 saw_zero_common = True  # pValue(0) == 1, the max
                 pvalue_peak = 1.0
-            need_p = edge or not saw_zero_common
+            # stripe-level p-values only feed the "Max p-value" report,
+            # which edge mode never prints — the per-row loop computes
+            # its own for output (avoid doing the scipy work twice)
+            need_p = (not edge) and not saw_zero_common
             if need_p:
                 nz = sub & (common > 0)
                 ii, jj = np.nonzero(nz)
@@ -248,8 +251,11 @@ class CommandTriangle(Command):
 
         sketch = init_from_files(query_files, params)
 
+        # adopted kmer space, as in the reference
+        # (CommandTriangle.cpp:103: sketch.getKmerSpace())
         length_threshold = (
-            params.warning * params.kmer_space / (1.0 - params.warning)
+            params.warning * sketch.params.kmer_space
+            / (1.0 - params.warning)
         )
         warning_count = 0
         length_max = 0
@@ -301,6 +307,15 @@ class CommandTriangle(Command):
         if not rank0:
             # small triangles: rank 0 computes and writes everything
             return 0
+
+        if n > STREAM_MIN_SKETCHES:
+            # the streamed path needs 16-bit cell packing (cap < 65536)
+            # — warn before materializing O(N^2) host matrices
+            err.write(
+                "WARNING: sketch size %d disables the streamed "
+                "triangle (needs < 65536); this run holds the full "
+                "%dx%d matrix in memory.\n" % (cap, n, n)
+            )
 
         common, denom = common_denom_tiled(
             H, N, H, N, cap, use64=sketch.params.use64

@@ -144,13 +144,22 @@ def cached_sharded_pairwise_fn(cap: int, use64: bool = True):
     return make_sharded_pairwise_fn(default_mesh(), cap, use64)
 
 
-def sharded_pairwise(mesh: Mesh, qry_h, qry_n, ref_h, ref_n, cap: int):
+_pairwise_fns = {}
+
+
+def sharded_pairwise(mesh: Mesh, qry_h, qry_n, ref_h, ref_n, cap: int,
+                     use64: bool = True):
     """All-pairs (common, denom); query rows sharded, refs replicated.
 
     Rows must be padded to a multiple of the mesh size (pad with empty
-    sketches: size 0).
+    sketches: size 0).  Compiled wrappers are cached per
+    (mesh devices, cap, use64), like the other sharded entry points.
     """
-    fn = make_sharded_pairwise_fn(mesh, cap)
+    key = (tuple(id(d) for d in mesh.devices.flat), cap, use64)
+    fn = _pairwise_fns.get(key)
+    if fn is None:
+        fn = make_sharded_pairwise_fn(mesh, cap, use64)
+        _pairwise_fns[key] = fn
     return fn(qry_h, qry_n, ref_h, ref_n)
 
 

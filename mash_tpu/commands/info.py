@@ -126,10 +126,16 @@ class CommandInfo(Command):
             params = SketchParams()
             from mash_tpu.core.loader import adopt_params_from_msh
 
-            adopt_params_from_msh(params, path)
+            # one read serves adoption + the full decode (multi-GB DB
+            # sketches must not be slurped twice; cf. loader)
+            with open(path, "rb") as f:
+                data = f.read()
+            adopt_params_from_msh(params, path, data=data)
             msh = capnp_msh.read_msh(
-                path, max_hashes=params.min_hashes_per_window
+                path, max_hashes=params.min_hashes_per_window,
+                data=data,
             )
+            del data
             references = msh.references
             reference_count = len(references)
 
@@ -175,28 +181,24 @@ class CommandInfo(Command):
                     )
             else:
                 out.write("\nSketches:\n")
-                rows = [
-                    ("[Hashes]", "[Length]", "[ID]", "[Comment]")
-                ] + [
-                    (
-                        str(len(r.hashes)),
-                        str(r.length),
-                        r.name or "-",
-                        r.comment or "-",
-                    )
-                    for r in references
+                # the reference renders this with its terminal column
+                # renderer (CommandInfo.cpp:180: printColumns(columns,
+                # 2, 2, "-", 0) — indent 2, spacing 2); the shared
+                # renderer's off-tty width cap applies as everywhere
+                from mash_tpu.cli.command import print_columns
+
+                cols = [
+                    ["[Hashes]"],
+                    ["[Length]"],
+                    ["[ID]"],
+                    ["[Comment]"],
                 ]
-                widths = [
-                    max(len(row[c]) for row in rows) for c in range(4)
-                ]
-                for row in rows:
-                    out.write(
-                        "  "
-                        + "  ".join(
-                            row[c].ljust(widths[c]) for c in range(4)
-                        ).rstrip()
-                        + "\n\n"
-                    )
+                for r in references:
+                    cols[0].append(str(len(r.hashes)))
+                    cols[1].append(str(r.length))
+                    cols[2].append(r.name)
+                    cols[3].append(r.comment)
+                print_columns(out, cols)
         return 0
 
     def _print_counts(self, params, references) -> int:

@@ -64,10 +64,20 @@ def stream_fold(fold, counts, state, records, k, trans, chunk_len=1 << 20):
     ``CommandScreen.cpp:192-270``), optionally 6-frame translates them,
     and folds each through the device step.  Returns
     ``(counts, state, saw_any)``.
+
+    ``saw_any`` reflects record PRESENCE, not k-validity: the reference
+    counts every record (``CommandTaxScreen.cpp:331``) and only errors
+    when none exist at all — a pool of records all shorter than k gets
+    the no-valid-k-mers WARNING and a report, not an error.
     """
-    saw_any = False
-    for raw in _packed_chunks(records, k, chunk_len):
-        saw_any = True
+    seen = {"any": False}
+
+    def _tracked(rs):
+        for rec in rs:
+            seen["any"] = True
+            yield rec
+
+    for raw in _packed_chunks(_tracked(records), k, chunk_len):
         if trans:
             arr = np.frombuffer(raw, dtype=np.uint8)
             arr = np.where(
@@ -89,7 +99,7 @@ def stream_fold(fold, counts, state, records, k, trans, chunk_len=1 << 20):
                 state,
                 jnp.asarray(np.frombuffer(padded, np.uint8)),
             )
-    return counts, state, saw_any
+    return counts, state, seen["any"]
 
 
 # The fast-ingest pipeline applies to non-translated screens only; the
@@ -137,7 +147,9 @@ def stream_fold_fast(fold, counts, state, files, k, params,
                     counts, state = fold(counts, state, dev[r])
     finally:
         pipe.close()
-    saw_any = any(m.count > 0 for m in pipe.metas)
+    # record presence, not k-validity: a skipped (too-short) record
+    # still counts as "saw input" (see stream_fold)
+    saw_any = any(m.count > 0 or m.skipped for m in pipe.metas)
     return counts, state, saw_any
 
 
@@ -230,6 +242,12 @@ class CommandScreen(Command):
                 % self.arguments[0]
             )
             raise SystemExit(1)
+        # '-' (stdin) may only be the first mixture argument
+        # (CommandScreen.cpp:240-244)
+        for f, arg in enumerate(self.arguments[1:]):
+            if arg == "-" and f > 0:
+                err.write("ERROR: '-' for stdin must be first query\n")
+                raise SystemExit(1)
 
         pvalue_max = self.get_option("pvalue").get_argument_as_number()
         identity_min = self.get_option("identity").get_argument_as_number()

@@ -113,6 +113,13 @@ class CommandTaxScreen(Command):
             )
             raise SystemExit(1)
 
+        # '-' (stdin) may only be the first pool argument
+        # (CommandTaxScreen.cpp:240-244)
+        for f, arg in enumerate(self.arguments[1:]):
+            if arg == "-" and f > 0:
+                err.write("ERROR: '-' for stdin must be first query\n")
+                raise SystemExit(1)
+
         taxonomy_dir = self.get_option("taxonomy-dir").argument
         mapping_file = self.get_option("mapping-file").argument
 
@@ -164,18 +171,29 @@ class CommandTaxScreen(Command):
                         # (CommandTaxScreen.cpp:128); match that rather
                         # than crashing
                         break
-                    ref_tax_map[parts[1]] = tax_id
+                    # emplace keeps the FIRST occurrence of a name
+                    # (CommandTaxScreen.cpp:132)
+                    ref_tax_map.setdefault(parts[1], tax_id)
             for i, ref in enumerate(refs):
                 reference_tax_ids[i] = ref_tax_map.get(ref.name, 0)
         for i, ref in enumerate(refs):
             if reference_tax_ids[i] == 0:
+                # stream-extraction semantics: each "taxid" token reads
+                # the next word as an int; a FAILED extraction zeroes
+                # the value and ends the scan (C++11 operator>>,
+                # CommandTaxScreen.cpp:152-156)
                 words = ref.comment.split()
-                for w, nxt in zip(words, words[1:]):
-                    if w == "taxid":
+                j = 0
+                while j < len(words):
+                    if words[j] == "taxid":
                         try:
-                            reference_tax_ids[i] = int(nxt)
-                        except ValueError:
-                            pass
+                            reference_tax_ids[i] = int(words[j + 1])
+                        except (ValueError, IndexError):
+                            reference_tax_ids[i] = 0
+                            break
+                        j += 2
+                    else:
+                        j += 1
             if reference_tax_ids[i] == 0:
                 err.write(
                     "Could not find taxID for reference %s in comment "
@@ -212,7 +230,15 @@ class CommandTaxScreen(Command):
         )
         state = sketch_ops.empty_state(s)
 
+        from mash_tpu.parallel import multihost as mh
+
+        distributed = mh.process_count() > 1
         input_files = self.arguments[1:]
+        if distributed:
+            # same multi-host story as screen: shard the pool across
+            # hosts; counts sum and the cardinality state merges
+            # associatively, so the cross-host reduction is exact
+            input_files = mh.shard_paths(input_files)
         from mash_tpu.commands.screen import stream_fold_fast
         from mash_tpu.io.ingest import fast_ingest_eligible
 
@@ -225,6 +251,11 @@ class CommandTaxScreen(Command):
             records = read_fastx_multi(input_files, round_robin=True)
             counts_dev, state, saw_any = stream_fold(
                 fold, counts_dev, state, records, k, trans
+            )
+        if distributed:
+            state = mh.merge_states_across_hosts(state, s)
+            _c, _t, saw_any = mh.reduce_meta_across_hosts(
+                0, 0, saw_any
             )
         if not saw_any:
             err.write("\nERROR: Did not find sequence records in inputs\n")
@@ -242,6 +273,10 @@ class CommandTaxScreen(Command):
 
         err.write("Assigning LCA taxIDs to hashes ...\n")
         counts_host = finalize_counts(counts_dev)
+        if distributed:
+            counts_host = mh.sum_counts_across_hosts(counts_host)
+            if mh.process_index() != 0:
+                return 0  # rank 0 formats/writes the report
         min_cov = 1
         tax_ids_arr = np.array(reference_tax_ids, dtype=np.int64)
 

@@ -87,9 +87,21 @@ def parse_json_dump(text: str):
 
     Used to reconstruct sketch files from golden dumps (the reference's
     genome FASTAs are tutorial downloads and not bundled).
+
+    Counts-bearing dumps are not valid JSON — the reference omits the
+    comma between the ``hashes`` and ``counts`` arrays and keys the
+    counts commas to the HASH count (CommandInfo.cpp:268-276), so the
+    text is repaired before parsing (and ``params.counts`` is set so a
+    rewrite via ``write_msh`` keeps the counts).
     """
     import json
+    import re
 
+    text = text.replace(
+        '\t\t\t]\n\t\t\t"counts" :', '\t\t\t],\n\t\t\t"counts" :'
+    )
+    # a counts array shorter than the hash list leaves a trailing comma
+    text = re.sub(r",(\n\t+\])", r"\1", text)
     doc = json.loads(text)
     import numpy as np
 
@@ -117,4 +129,5 @@ def parse_json_dump(text: str):
                 counts_sorted=counts is not None,
             )
         )
+    p.counts = any(r.counts is not None for r in refs)
     return p, refs

@@ -36,14 +36,21 @@ class TaxDB:
 
     def __init__(self, names_dump: str, nodes_dump: str):
         self.entries: Dict[int, TaxEntry] = {}
+        self._lca_cache: Dict[tuple, int] = {}
         parent_ids: Dict[int, int] = {}
         with open(nodes_dump) as f:
             for line in f:
                 parts = [p.strip() for p in line.split("|")]
                 if len(parts) < 3:
                     continue
-                tax_id = int(parts[0])
-                parent_id = int(parts[1])
+                try:
+                    tax_id = int(parts[0])
+                    parent_id = int(parts[1])
+                except ValueError:
+                    # the reference's stream extraction fails on a
+                    # malformed record and stops parsing, proceeding
+                    # with the partial taxonomy (taxdb.hpp:117)
+                    break
                 rank = parts[2]
                 self.entries[tax_id] = TaxEntry(tax_id, rank)
                 parent_ids[tax_id] = parent_id
@@ -78,23 +85,41 @@ class TaxDB:
         return e
 
     def lca(self, a: int, b: int) -> int:
-        """Lowest common ancestor (``taxdb.hpp:158-190``)."""
+        """Lowest common ancestor (``taxdb.hpp:158-190``).
+
+        Resolved pairs are memoized: the per-hash LCA loop asks the
+        same handful of (a, b) taxid pairs hundreds of thousands of
+        times on large DBs.  Missing-ID results are NOT cached so their
+        per-call warnings keep the reference's behavior.
+        """
         if b == 0:
             return a
         if a == 0:
             return b
+        key = (a, b)
+        hit = self._lca_cache.get(key)
+        if hit is not None:
+            return hit
+        r = self._lca_walk(a, b)
+        if r is not None:
+            self._lca_cache[key] = r
+            return r
+        return 1
+
+    def _lca_walk(self, a: int, b: int):
+        """The parent-chain walk; None when an ID is missing."""
         ta = self.entries.get(a)
         if ta is None:
             sys.stderr.write(
                 "TaxID %d not in database - ignoring it.\n" % a
             )
-            return 1
+            return None
         tb = self.entries.get(b)
         if tb is None:
             sys.stderr.write(
                 "TaxID %d not in database - ignoring it.\n" % b
             )
-            return 1
+            return None
         a_path = set()
         p = ta
         while p is not None and p.tax_id > 1 and p.parent is not None:

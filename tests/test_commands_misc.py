@@ -200,3 +200,82 @@ def test_info_count_histogram(tmp_path, reference_test_dir):
     # to the sketch size
     total = sum(int(r[2]) for r in rows)
     assert total == 1000
+
+
+def test_taxscreen_comment_taxid_failed_extraction(
+    tmp_path, reference_test_dir, capsys
+):
+    """'taxid 5 taxid x': the second stream extraction fails, zeroing
+    the value and ending the scan (C++11 operator>>), so the reference
+    warns and assigns no taxid — hashes roll up to root."""
+    tax = tmp_path / "tax"
+    tax.mkdir()
+    (tax / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n5\t|\t1\t|\tgenus\t|\n"
+    )
+    (tax / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "5\t|\tG\t|\t\t|\tscientific name\t|\n"
+    )
+    db = tmp_path / "db.msh"
+    rc, _ = _run(
+        [
+            "sketch", "-o", str(db), "-I", "r",
+            "-C", "taxid 5 taxid x",
+            str(reference_test_dir / "reads1.fastq"),
+        ]
+    )
+    assert rc == 0
+    rc, out = _run(
+        [
+            "taxscreen", "-t", str(tax), str(db),
+            str(reference_test_dir / "reads1.fastq"),
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "Could not find taxID" in err
+    # nothing assigned to taxid 5: its row is absent (or zero-count)
+    for line in out.splitlines():
+        if line.split("\t")[-1].strip() == "G":
+            assert int(line.split("\t")[1]) == 0
+
+
+def test_taxscreen_stdin_must_be_first(tmp_path, reference_test_dir):
+    """'-' after another pool argument is rejected
+    (CommandTaxScreen.cpp:240-244; same in screen)."""
+    import pytest
+
+    from mash_tpu.__main__ import main
+
+    db = tmp_path / "db.msh"
+    rc, _ = _run(
+        ["sketch", "-o", str(db), "-I", "r",
+         str(reference_test_dir / "reads1.fastq")]
+    )
+    assert rc == 0
+    for cmd in ("screen", "taxscreen"):
+        with pytest.raises(SystemExit):
+            main([cmd, str(db),
+                  str(reference_test_dir / "reads1.fastq"), "-"])
+
+
+def test_screen_all_short_records_warns_not_errors(
+    tmp_path, reference_test_dir, capsys
+):
+    """A mixture whose records are all shorter than k is NOT an error:
+    the reference counts every record and only errors when none exist
+    (CommandScreen.cpp count++ per record); it warns about no valid
+    k-mers and writes the (empty) report with exit 0."""
+    db = tmp_path / "db.msh"
+    rc, _ = _run(
+        ["sketch", "-o", str(db), "-I", "r",
+         str(reference_test_dir / "reads1.fastq")]
+    )
+    assert rc == 0
+    short = tmp_path / "short.fna"
+    short.write_text(">a\nACGT\n>b\nGGGG\n")
+    rc, out = _run(["screen", str(db), str(short)])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "no valid k-mers" in err

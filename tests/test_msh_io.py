@@ -164,3 +164,25 @@ def test_read_msh_accepts_prefetched_bytes(tmp_path):
     np.testing.assert_array_equal(
         m.references[0].hashes, _toy_refs()[0].hashes
     )
+
+
+def test_parse_json_dump_with_counts_roundtrip():
+    """Counts-bearing dumps are deliberately invalid JSON (missing
+    comma before "counts", commas keyed to the hash count —
+    CommandInfo.cpp:268-276); parse_json_dump repairs and reads them,
+    and sets params.counts so a rewrite keeps the counts."""
+    p = default_nucleotide_params()
+    p.counts = True
+    refs = _toy_refs()  # first ref has counts
+    text = json_dump(p, refs)
+    import json
+
+    import pytest
+
+    with pytest.raises(json.JSONDecodeError):
+        json.loads(text)  # the reference's format quirk, by design
+    p2, refs2 = parse_json_dump(text)
+    assert p2.counts is True
+    np.testing.assert_array_equal(refs2[0].hashes, refs[0].hashes)
+    np.testing.assert_array_equal(refs2[0].counts, refs[0].counts)
+    assert refs2[1].counts is None

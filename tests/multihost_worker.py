@@ -82,6 +82,12 @@ run("dist_t", ["dist", "-t", CFG["refs_msh"], CFG["qry_msh"]])
 run("triangle", ["triangle", CFG["refs_msh"]])
 run("triangle_edge", ["triangle", "-E", CFG["refs_msh"]])
 run("screen", ["screen", CFG["screen_db"]] + CFG["read_files"])
+run("within", ["within", "-e", "1", CFG["refs_msh"], CFG["qry_msh"]])
+run(
+    "taxscreen",
+    ["taxscreen", "-t", CFG["tax_dir"], CFG["tax_db"]]
+    + CFG["read_files"],
+)
 
 with open(os.path.join(outdir, "rank%d.done" % RANK), "w") as f:
     f.write("ok")

@@ -135,6 +135,21 @@ def tw(tmp_path_factory):
     db_msh = str(root / "db.msh")
     _run_single(["sketch", "-k", str(K), "-s", str(S), "-o", db_msh]
                 + reads)
+    # taxscreen: tiny taxonomy + a taxid-commented DB over the reads
+    tax_dir = root / "tax"
+    tax_dir.mkdir()
+    (tax_dir / "nodes.dmp").write_text(
+        "1\t|\t1\t|\tno rank\t|\n562\t|\t1\t|\tspecies\t|\n"
+    )
+    (tax_dir / "names.dmp").write_text(
+        "1\t|\troot\t|\t\t|\tscientific name\t|\n"
+        "562\t|\tEscherichia coli\t|\t\t|\tscientific name\t|\n"
+    )
+    tax_db = str(root / "taxdb.msh")
+    _run_single(
+        ["sketch", "-k", str(K), "-s", str(S), "-r", "-I", "pool",
+         "-C", "taxid 562", "-o", tax_db] + reads
+    )
 
     outdir = root / "out"
     outdir.mkdir()
@@ -145,6 +160,8 @@ def tw(tmp_path_factory):
         "refs_msh": refs_msh,
         "qry_msh": qry_msh,
         "screen_db": db_msh,
+        "tax_dir": str(tax_dir),
+        "tax_db": tax_db,
     }
     cfg_path = str(root / "cfg.json")
     with open(cfg_path, "w") as f:
@@ -197,6 +214,12 @@ def tw(tmp_path_factory):
             "triangle": _run_single(["triangle", refs_msh]),
             "triangle_edge": _run_single(["triangle", "-E", refs_msh]),
             "screen": _run_single(["screen", db_msh] + reads),
+            "within": _run_single(
+                ["within", "-e", "1", refs_msh, qry_msh]
+            ),
+            "taxscreen": _run_single(
+                ["taxscreen", "-t", str(tax_dir), tax_db] + reads
+            ),
         }
     finally:
         dist_mod.STREAM_MIN_CELLS = old_d
@@ -294,3 +317,21 @@ def test_screen_counts_sum_rank0_writes(tw):
     assert sorted(r0.splitlines()) == sorted(single.splitlines())
     assert r1 == ""
     assert len(r0.splitlines()) > 0  # the DB must actually hit
+
+
+def test_within_rank0_only(tw):
+    """within is rank-0 gated: one copy of the full output."""
+    assert _rank_out(tw, 0, "within") == tw["single"]["within"][0]
+    assert _rank_out(tw, 1, "within") == ""
+    assert len(_rank_out(tw, 0, "within").splitlines()) > 0
+
+
+def test_taxscreen_counts_sum_rank0_writes(tw):
+    """taxscreen shards the pool, sums counts, and rank 0 writes the
+    report identical to the single-process run."""
+    single = tw["single"]["taxscreen"][0]
+    r0 = _rank_out(tw, 0, "taxscreen")
+    r1 = _rank_out(tw, 1, "taxscreen")
+    assert r0 == single
+    assert r1 == ""
+    assert "Escherichia coli" in r0

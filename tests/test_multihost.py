@@ -79,3 +79,33 @@ def test_maybe_init_distributed_env_validation(monkeypatch):
     monkeypatch.setenv("MASH_TPU_PROCESS_ID", "5")
     with pytest.raises(SystemExit, match="outside"):
         mh.maybe_init_distributed()
+
+
+def test_maybe_init_distributed_pod_autodetect(monkeypatch):
+    """With no MASH_TPU_* vars, a pod environment advertising multiple
+    workers triggers jax.distributed auto-init; a single-worker (or
+    absent) advertisement stays single-process without an init
+    attempt."""
+    import jax
+
+    from mash_tpu.parallel import multihost as mh
+
+    monkeypatch.delenv("MASH_TPU_COORDINATOR", raising=False)
+    calls = []
+
+    def fake_initialize(*a, **kw):
+        calls.append((a, kw))
+
+    monkeypatch.setattr(jax.distributed, "initialize", fake_initialize)
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    assert mh.maybe_init_distributed() is False
+    assert calls == []
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    assert mh.maybe_init_distributed() is False
+    assert calls == []
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert mh.maybe_init_distributed() is True
+    assert calls == [((), {})]  # no-arg auto-detection

@@ -416,9 +416,24 @@ class BigDBCounter:
                     ]
                 )
             if self.deferred:
-                self.counts, self._nfail = self._deferred_step()(
-                    self.counts, slab, self._nfail
-                )
+                try:
+                    self.counts, self._nfail = self._deferred_step()(
+                        self.counts, slab, self._nfail
+                    )
+                except Exception as e:  # compile/lowering surprise:
+                    # fall back to eager certificates for the rest of
+                    # the stream rather than failing the run (donation
+                    # only consumes inputs at execution, so counts is
+                    # still live after a failed compile)
+                    import sys
+
+                    sys.stderr.write(
+                        "WARNING: deferred big-DB flush unavailable "
+                        "(%s: %s); using per-flush certificates.\n"
+                        % (type(e).__name__, str(e)[:200])
+                    )
+                    self.deferred = False
+                    self._flush_batch(jnp.sort(slab))
             else:
                 self._flush_batch(jnp.sort(slab))
             i += take

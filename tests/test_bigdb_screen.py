@@ -210,3 +210,44 @@ def test_bigdb_k_eff_recovers_after_clean_flushes():
     got = counter.finalize()
     exp = _expected_counts(db, chunks)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_bigdb_deferred_compile_failure_falls_back_to_eager():
+    """If the deferred one-dispatch flush cannot compile (a TPU
+    lowering surprise), the counter degrades to eager per-flush
+    certificates instead of failing the stream."""
+    rng = np.random.default_rng(41)
+    H = 1024
+    db = np.unique(
+        rng.integers(0, 2**63, size=H, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    chunk_len = 1 << 12
+    params = default_nucleotide_params()
+    tpu = jax.default_backend() == "tpu"
+    counter = BigDBCounter(
+        params, db, s=100, chunk_len=chunk_len,
+        d_tile=1024 if tpu else 256,
+        wblk=8 if tpu else 4, rw=4, deferred=True,
+    )
+
+    def boom():
+        def step(*_a, **_k):
+            raise RuntimeError("synthetic lowering failure")
+
+        return step
+
+    counter._deferred_step = boom
+    chunks = []
+    for _ in range(3):
+        h = rng.integers(0, 2**63, size=chunk_len, dtype=np.int64
+                         ).astype(np.uint64)
+        h[:300] = db[rng.choice(len(db), size=300)]
+        v = rng.random(chunk_len) < 0.9
+        chunks.append((h, v))
+        counter.add(jnp.asarray(h), jnp.asarray(v))
+    got = counter.finalize()
+    assert counter.deferred is False  # degraded, not dead
+    exp = _expected_counts(db, chunks)
+    np.testing.assert_array_equal(got, exp)

@@ -242,7 +242,9 @@ def count_batch_cond(
         add = (
             jnp.concatenate(adds, axis=0) if len(adds) > 1 else adds[0]
         )
-        return c + add.reshape(-1).astype(c.dtype)
+        from mash_tpu.ops.screen_ops import _accum
+
+        return _accum(c, add.reshape(-1).astype(c.dtype))
 
     def exact(c):
         # The 64-bit DB is rebuilt from the resident int32 planes (no
@@ -337,4 +339,6 @@ def count_batch(
     add = jnp.concatenate(adds, axis=0) if len(adds) > 1 else adds[0]
     # DB pad entries are sentinels: they match masked batch lanes, but
     # their counts land in pad slots the caller strips.
-    return counts + add.reshape(-1).astype(counts.dtype), ok
+    from mash_tpu.ops.screen_ops import _accum
+
+    return _accum(counts, add.reshape(-1).astype(counts.dtype)), ok

@@ -148,7 +148,32 @@ def count_db_occurrences(h, v, db_hashes, counts):
             nv - before,
             after - before,
         ).astype(counts.dtype)
-    return jnp.concatenate([counts[:Hn] + add, counts[Hn:]])
+    return jnp.concatenate(
+        [_accum(counts[:Hn], add), counts[Hn:]]
+    )
+
+
+def _accum(counts, add):
+    """Accumulate non-negative per-chunk occurrence counts.
+
+    Signed accumulators (the big-DB tier's int32 device counts)
+    SATURATE at INT32_MAX instead of wrapping negative: the finalize
+    cast to uint32 would turn a wrapped negative into garbage.  This
+    diverges from the reference's uint32 atomics, which silently wrap
+    at 2^32 (``CommandScreen.h:106``) — saturating at 2^31-1 is the
+    strictly-less-wrong behavior and is documented in
+    ``docs/file-formats.md``.  Unsigned accumulators (the small-DB and
+    mesh-sharded folds) keep the reference's exact wrapping semantics.
+    ``add`` is always >= 0 and itself far below 2^31 (one flush counts
+    at most ~2e8 hashes), so overflow manifests exactly as
+    ``new < counts``.
+    """
+    new = counts + add
+    if jnp.issubdtype(counts.dtype, jnp.signedinteger):
+        new = jnp.where(
+            new < counts, jnp.iinfo(counts.dtype).max, new
+        )
+    return new
 
 
 def make_screen_fold(params, db_hashes: jnp.ndarray, s: int):
@@ -229,12 +254,25 @@ class BigDBCounter:
     round-1 per-chunk ``[chunk, db, db]`` 2-key sort, making per-chunk
     work independent of H.  A coverage certificate guards every batch;
     failure falls back to the exact sort tier.
+
+    Counts accumulate in device int32 and SATURATE at 2^31-1 (see
+    :func:`_accum`); the reference's uint32 atomics instead wrap at
+    2^32 (``CommandScreen.h:106``).
+
+    With ``mesh`` (>1 device) the sorted DB's tile planes, subrow
+    bounds and counts are contiguously RANGE-SHARDED over the mesh
+    (each device owns a value range of the sorted DB; the replicated
+    batch is windowed-counted against the local range only, so
+    concatenating per-range counts is exact).  Mesh mode is
+    deferred-only: per-flush certificate readbacks would sync every
+    device, and the on-device ``lax.cond`` exact tier already keeps
+    failed batches correct locally.
     """
 
     def __init__(self, params, db_hashes: np.ndarray, s: int,
                  chunk_len: int = 1 << 20, d_tile: int | None = None,
                  wblk: int | None = None, rw: int | None = None,
-                 deferred: bool | None = None):
+                 deferred: bool | None = None, mesh=None):
         import os
 
         from mash_tpu.ops import pallas_screen as ps
@@ -245,13 +283,46 @@ class BigDBCounter:
         self.rw = rw or ps.RW
         self.db_np = np.asarray(db_hashes, np.uint64)
         H = len(self.db_np)
-        (
-            self.dbh,
-            self.dbl,
-            self.sub_min,
-            self.sub_max,
-            self.H_pad,
-        ) = ps.prepare_db_planes(self.db_np, self.D)
+        self.mesh = (
+            mesh
+            if mesh is not None and mesh.devices.size > 1
+            else None
+        )
+        if self.mesh is not None:
+            # pad so tile boundaries align with contiguous range shards
+            n_dev = self.mesh.devices.size
+            tiles_per_dev = -(-(-(-H // self.D)) // n_dev)
+            Hp = tiles_per_dev * n_dev * self.D
+            dbp = np.full(Hp, np.uint64(0xFFFFFFFFFFFFFFFF))
+            dbp[:H] = self.db_np
+            (
+                self.dbh,
+                self.dbl,
+                self.sub_min,
+                self.sub_max,
+                self.H_pad,
+            ) = ps.prepare_db_planes(dbp, self.D)
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            from mash_tpu.parallel.mesh import AXIS
+
+            rows = NamedSharding(self.mesh, P(AXIS, None))
+            vec = NamedSharding(self.mesh, P(AXIS))
+            self.dbh = jax.device_put(self.dbh, rows)
+            self.dbl = jax.device_put(self.dbl, rows)
+            self.sub_min = jax.device_put(self.sub_min, vec)
+            self.sub_max = jax.device_put(self.sub_max, vec)
+            self._counts_sharding = vec
+        else:
+            (
+                self.dbh,
+                self.dbl,
+                self.sub_min,
+                self.sub_max,
+                self.H_pad,
+            ) = ps.prepare_db_planes(self.db_np, self.D)
+            self._counts_sharding = None
         self.H = H
         self.s = s
         self.params = params
@@ -268,6 +339,9 @@ class BigDBCounter:
             self.rw * 128 - 300, (self.wblk * 128 - 300) // 8
         )
         target = max(target, 16)
+        # H (not H/n_dev) is right even sharded: a shard holds 1/n_dev
+        # of the hashes over 1/n_dev of the value range, so the batch
+        # slice per 128-hash subrow has the same expectation.
         self.K = int(
             min(192, max(1, (target * H) // (128 * chunk_len)))
         )
@@ -277,6 +351,10 @@ class BigDBCounter:
         # shape (inactive slots pad with sentinels).
         self.k_eff = self.K
         self.counts = jnp.zeros(self.H_pad, dtype=jnp.int32)
+        if self._counts_sharding is not None:
+            self.counts = jax.device_put(
+                self.counts, self._counts_sharding
+            )
         # queued device rows awaiting a flush: a list of 1-D
         # [chunk_len] chunks and 2-D [r, chunk_len] row groups (kept
         # whole — slicing a group into rows would cost one device
@@ -302,7 +380,8 @@ class BigDBCounter:
         # MASH_TPU_BIGDB_EAGER=1.
         if deferred is None:
             deferred = os.environ.get("MASH_TPU_BIGDB_EAGER") != "1"
-        self.deferred = deferred
+        # mesh mode is deferred-only (see class docstring)
+        self.deferred = True if self.mesh is not None else deferred
         self._nfail = jnp.zeros((), dtype=jnp.int32)
         self._dstep = None
 
@@ -432,6 +511,28 @@ class BigDBCounter:
                         "(%s: %s); using per-flush certificates.\n"
                         % (type(e).__name__, str(e)[:200])
                     )
+                    if self.mesh is not None:
+                        # degrade to single-device: pull the sharded
+                        # counts local and rebuild unsharded planes
+                        # (pad slots differ; both are stripped at
+                        # finalize, so only the real-H prefix matters)
+                        old = np.asarray(self.counts)
+                        self.mesh = None
+                        self._counts_sharding = None
+                        self._dstep = None
+                        (
+                            self.dbh,
+                            self.dbl,
+                            self.sub_min,
+                            self.sub_max,
+                            self.H_pad,
+                        ) = self.ps.prepare_db_planes(
+                            self.db_np, self.D
+                        )
+                        cn = np.zeros(self.H_pad, np.int32)
+                        n_keep = min(self.H_pad, old.shape[0])
+                        cn[:n_keep] = old[:n_keep]
+                        self.counts = jnp.asarray(cn)
                     self.deferred = False
                     self._flush_batch(jnp.sort(slab))
             else:
@@ -440,13 +541,60 @@ class BigDBCounter:
 
     def _deferred_step(self):
         """One-dispatch readback-free flush: sort + count + on-device
-        certificate/fallback cond + failure-count accumulate."""
+        certificate/fallback cond + failure-count accumulate.
+
+        Mesh mode wraps the count in ``shard_map``: the sorted batch is
+        replicated, the DB planes/bounds/counts arrive range-sharded,
+        each device counts only its value range, and the per-device
+        certificate failures ``psum`` into one replicated counter (so
+        ``fallback_count`` reports failed device-batches)."""
         if self._dstep is not None:
             return self._dstep
         ps = self.ps
         dbh, dbl = self.dbh, self.dbl
         sub_min, sub_max = self.sub_min, self.sub_max
         D, wblk, rw = self.D, self.wblk, self.rw
+
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from mash_tpu.parallel.mesh import AXIS
+
+            def per_dev(c, dh, dl, smin, smax, batch):
+                c2, ok = ps.count_batch_cond(
+                    batch, dh, dl, smin, smax, c, D, wblk, rw
+                )
+                f = jax.lax.psum(
+                    jnp.where(ok, jnp.int32(0), jnp.int32(1)), AXIS
+                )
+                return c2, f
+
+            smapped = shard_map(
+                per_dev,
+                mesh=self.mesh,
+                check_vma=False,
+                in_specs=(
+                    P(AXIS),
+                    P(AXIS, None),
+                    P(AXIS, None),
+                    P(AXIS),
+                    P(AXIS),
+                    P(),
+                ),
+                out_specs=(P(AXIS), P()),
+            )
+
+            @functools.partial(jax.jit, donate_argnums=(0, 2))
+            def step(counts, slab, nfail):
+                batch = jnp.sort(slab)
+                counts2, f = smapped(
+                    counts, dbh, dbl, sub_min, sub_max, batch
+                )
+                return counts2, nfail + f
+
+            self._dstep = step
+            return step
 
         @functools.partial(jax.jit, donate_argnums=(0, 2))
         def step(counts, slab, nfail):
@@ -538,6 +686,17 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
         and jax.default_backend() == "tpu"
     ):
         return make_screen_fold_bigdb(params, db_hashes, s)
+    if (
+        n_dev > 1
+        and H // n_dev > BIG_DB_MIN
+        and jax.default_backend() == "tpu"
+    ):
+        # RefSeq-scale DB on a mesh: range-sharded windowed counting
+        from mash_tpu.parallel import mesh as pmesh
+
+        return make_screen_fold_bigdb(
+            params, db_hashes, s, mesh=pmesh.default_mesh()
+        )
     if n_dev > 1 and H > 0:
         from mash_tpu.parallel import mesh as pmesh
 
@@ -574,17 +733,18 @@ def make_screen_fold_auto(params, db_hashes: np.ndarray, s: int):
 
 
 def make_screen_fold_bigdb(params, db_hashes: np.ndarray, s: int,
-                           chunk_len: int = 1 << 20):
+                           chunk_len: int = 1 << 20, mesh=None):
     """Big-DB screen fold: batched Pallas counting + per-chunk state.
 
     Same ``(fold, counts0, finalize)`` contract as the other variants;
     the counts value threaded through ``fold`` is a placeholder — the
     :class:`BigDBCounter` holds the real accumulator and ``finalize``
-    drains it.
+    drains it.  With ``mesh``, counting is range-sharded (see
+    :class:`BigDBCounter`).
     """
     from mash_tpu.ops.kmers import alphabet_bytes
 
-    counter = BigDBCounter(params, db_hashes, s, chunk_len)
+    counter = BigDBCounter(params, db_hashes, s, chunk_len, mesh=mesh)
     alpha = alphabet_bytes(params.alphabet)
     hash_fns = {}
 

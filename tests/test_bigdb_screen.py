@@ -251,3 +251,148 @@ def test_bigdb_deferred_compile_failure_falls_back_to_eager():
     assert counter.deferred is False  # degraded, not dead
     exp = _expected_counts(db, chunks)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_int32_accumulator_saturates_at_wrap_boundary():
+    """Big-DB counts saturate at 2^31-1 instead of wrapping negative.
+
+    The reference's uint32 atomics wrap at 2^32 (CommandScreen.h:106);
+    our device accumulator is int32 (TPU-native lane width), so without
+    saturation >2^31 occurrences of one hash would wrap NEGATIVE and
+    the finalize uint32 cast would emit garbage (round-3 verdict #6).
+    """
+    db = jnp.asarray(np.array([100, 200, 300], dtype=np.uint64))
+    imax = np.iinfo(np.int32).max
+    counts = jnp.asarray(
+        np.array([imax - 1, imax - 3, 5, 0], dtype=np.int32)
+    )
+    h = jnp.asarray(
+        np.array([100, 100, 100, 200, 300, 999], dtype=np.uint64)
+    )
+    v = jnp.asarray(np.ones(6, dtype=bool))
+    out = np.asarray(count_db_occurrences(h, v, db, counts))
+    # 100: imax-1 + 3 would wrap -> saturates; 200: imax-3+1 exact
+    assert out[0] == imax
+    assert out[1] == imax - 2
+    assert out[2] == 6
+
+
+def test_uint32_accumulator_keeps_reference_wrap():
+    """Unsigned (small-DB/sharded) counts wrap exactly like the
+    reference's uint32 atomic increments."""
+    db = jnp.asarray(np.array([7], dtype=np.uint64))
+    counts = jnp.asarray(
+        np.array([0xFFFFFFFF, 0], dtype=np.uint32)
+    )
+    h = jnp.asarray(np.array([7, 7], dtype=np.uint64))
+    v = jnp.asarray(np.ones(2, dtype=bool))
+    out = np.asarray(count_db_occurrences(h, v, db, counts))
+    assert out[0] == 1  # 2^32-1 + 2 wraps to 1
+
+
+def test_bigdb_pallas_flush_saturates():
+    """The windowed Pallas accumulate path saturates too (both the
+    certificate-pass and the on-device exact fallback branches)."""
+    rng = np.random.default_rng(77)
+    H = 1024
+    db = np.unique(
+        rng.integers(0, 2**63, size=H, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    chunk_len = 1 << 12
+    h = rng.integers(0, 2**63, size=chunk_len, dtype=np.int64).astype(
+        np.uint64
+    )
+    h[:64] = db[5]
+    v = np.ones(chunk_len, dtype=bool)
+    params = default_nucleotide_params()
+    tpu = jax.default_backend() == "tpu"
+    counter = BigDBCounter(
+        params, db, s=100, chunk_len=chunk_len,
+        d_tile=1024 if tpu else 256,
+        wblk=8 if tpu else 4,
+        rw=4,
+    )
+    imax = np.iinfo(np.int32).max
+    idx = int(np.searchsorted(db, db[5]))
+    counter.counts = counter.counts.at[idx].set(imax - 10)
+    counter.add(jnp.asarray(h), jnp.asarray(v))
+    got = counter.finalize()
+    assert got[idx] == np.uint32(imax)  # 64 adds saturate, not wrap
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh"
+)
+def test_bigdb_counter_mesh_range_sharded_matches_reference():
+    """Mesh mode: range-sharded windowed counting is exact and (on
+    uniform data with per-shard windows) certificate-clean."""
+    from mash_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.default_mesh()
+    rng = np.random.default_rng(31)
+    H = 4096
+    db = np.unique(
+        rng.integers(0, 2**63, size=H, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    chunk_len = 1 << 12
+    chunks = []
+    for i in range(6):
+        h = rng.integers(
+            0, 2**63, size=chunk_len, dtype=np.int64
+        ).astype(np.uint64)
+        h[: chunk_len // 4] = db[
+            rng.choice(len(db), size=chunk_len // 4)
+        ]
+        rng.shuffle(h)
+        v = rng.random(chunk_len) < 0.8
+        chunks.append((h, v))
+
+    params = default_nucleotide_params()
+    tpu = jax.default_backend() == "tpu"
+    counter = BigDBCounter(
+        params, db, s=100, chunk_len=chunk_len,
+        d_tile=1024 if tpu else 256,
+        wblk=8 if tpu else 4,
+        rw=4,
+        mesh=mesh,
+    )
+    assert counter.deferred  # mesh mode is deferred-only
+    for h, v in chunks:
+        counter.add(jnp.asarray(h), jnp.asarray(v))
+    got = counter.finalize()
+    np.testing.assert_array_equal(got, _expected_counts(db, chunks))
+
+
+@pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs a multi-device mesh"
+)
+def test_bigdb_counter_mesh_fallback_stays_exact():
+    """Skewed values trip per-shard certificates; the on-device exact
+    tier keeps mesh counts correct and fallback_count reports it."""
+    from mash_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.default_mesh()
+    rng = np.random.default_rng(8)
+    db = np.unique(
+        rng.integers(0, 2000, size=1024, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    chunk_len = 1 << 12
+    h = rng.integers(0, 2000, size=chunk_len, dtype=np.int64).astype(
+        np.uint64
+    )
+    v = np.ones(chunk_len, dtype=bool)
+    params = default_nucleotide_params()
+    counter = BigDBCounter(
+        params, db, s=100, chunk_len=chunk_len,
+        d_tile=256, wblk=2, rw=2, mesh=mesh,
+    )
+    counter.add(jnp.asarray(h), jnp.asarray(v))
+    got = counter.finalize()
+    np.testing.assert_array_equal(got, _expected_counts(db, [(h, v)]))
+    assert counter.fallback_count() >= 1

@@ -49,6 +49,24 @@ N_REFS = 70  # 3 row stripes of 32 on the workers' 4-device meshes
 N_QRY = 40  # 2 row stripes
 
 
+def _skip_or_fail(reason: str) -> None:
+    """Environment-degradation skips fail loudly in strict CI.
+
+    These tests have two legitimate skip paths (coordinator port bind
+    failure, worker timeout); a regression could otherwise silently
+    park the only real 2-process multihost coverage as 'skipped' while
+    the suite still reads green.  Set MASH_TPU_REQUIRE_2PROC=1 in CI to
+    turn the skips into failures.
+    """
+    import pytest
+
+    if os.environ.get("MASH_TPU_REQUIRE_2PROC") == "1":
+        raise AssertionError(
+            "2-proc multihost path degraded (strict mode): " + reason
+        )
+    pytest.skip(reason)
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
@@ -192,11 +210,13 @@ def tw(tmp_path_factory):
     except subprocess.TimeoutExpired:
         for p in procs:
             p.kill()
-        pytest.skip("multi-process workers timed out")
+        _skip_or_fail("multi-process workers timed out")
     for rank, (p, (so, se)) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
             if "initialize" in se or "bind" in se.lower():
-                pytest.skip("distributed init unavailable: %s" % se[-500:])
+                _skip_or_fail(
+                    "distributed init unavailable: %s" % se[-500:]
+                )
             raise AssertionError(
                 "worker %d failed rc=%d\n%s" % (rank, p.returncode, se)
             )

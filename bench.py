@@ -654,6 +654,15 @@ def _cumulative(values, extras, degraded, timings):
         "device_count": values.get("device_count"),
         "group_seconds": timings,
     }
+    notes = {
+        k: v
+        for k, v in extras.items()
+        if k.endswith(".err") or k.endswith(".skipped")
+    }
+    if "handshake_s" in values:
+        notes["handshake_s"] = values["handshake_s"]
+    if notes:
+        secondary["notes"] = notes
     if degraded:
         secondary["degraded"] = degraded
     v = values.get("sketch_bases_per_sec")

@@ -296,6 +296,7 @@ def stream_pair_stripes(
     tile_r: int | None = None,
     triangle: bool = False,
     stripe_filter=None,
+    depth: int | None = None,
 ):
     """Stream packed (common | denom<<16) stripes with bounded memory.
 
@@ -321,7 +322,15 @@ def stream_pair_stripes(
     if row_block is None:
         row_block = 512 if big else 32
     if tile_r is None:
-        tile_r = 4096 if big else 128
+        # 2048 beats 4096 for the triangle shape: the last tile of each
+        # stripe is fetched whole, and finer tiles waste less D2H/compute
+        # on pad columns (measured +16% on the 8192-sketch stream, r4)
+        tile_r = (2048 if triangle else 4096) if big else 128
+    if depth is None:
+        # stripes in flight: deeper pipelining overlaps the ~25 MiB/s
+        # D2H of ready stripes with device compute of later ones
+        # (measured +25% at depth 3 over 1 on the dev tunnel, r4)
+        depth = 3 if big else 1
     n_dev = len(jax.local_devices())
     # Stripe boundaries must agree on EVERY host (owns_stripe divides
     # output by stripe index), so round to a multiple of all hosts'
@@ -415,19 +424,20 @@ def stream_pair_stripes(
             )
         return i0, stripe
 
-    pend = None
+    from collections import deque
+
+    pend: deque = deque()
     for i0 in range(0, nq, row_block):
         if stripe_filter is not None and not stripe_filter(
             i0, row_block
         ):
             # stripe owned by another host (multi-host row sharding)
             continue
-        item = dispatch(i0)
-        if pend is not None:
-            yield materialize(pend)
-        pend = item
-    if pend is not None:
-        yield materialize(pend)
+        pend.append(dispatch(i0))
+        if len(pend) > depth:
+            yield materialize(pend.popleft())
+    while pend:
+        yield materialize(pend.popleft())
 
 
 def _pad_rows_np(arr, mult, fill):

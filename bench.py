@@ -563,7 +563,7 @@ _GROUPS = [
     ("baseline", 300, _child_baseline),
     ("fixtures", 300, _child_fixtures),
     ("tpu", 1500, _child_tpu),
-    ("bigdb", 700, _child_bigdb),
+    ("bigdb", 1100, _child_bigdb),
 ]
 
 

@@ -311,6 +311,38 @@ def bench_screen_e2e(H=1_000_000):
     return best
 
 
+def bench_pairwise_ranked(n=2048, s=1000, iters=5):
+    """Rank-compressed single-plane pairwise kernel rate (the tile the
+    streamed triangle/dist path runs after rank_compress)."""
+    import jax.numpy as jnp
+    from mash_tpu.ops.distance import rank_compress
+    from mash_tpu.ops.pallas_pairwise import pairwise_common_denom_keys32
+
+    rng = np.random.default_rng(3)
+    h = np.sort(
+        rng.integers(0, 2**62, size=(n, s), dtype=np.int64).astype(
+            np.uint64
+        ),
+        axis=1,
+    )
+    sizes = jnp.asarray(np.full((n,), s, dtype=np.int32))
+    kq, _ = rank_compress(jnp.asarray(h), jnp.asarray(h)[:0])
+    out = pairwise_common_denom_keys32(kq, sizes, kq, sizes, cap=s)
+    _force(*out)
+    best = 0.0
+    for _ in range(3):
+        outs = []
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            outs.append(
+                pairwise_common_denom_keys32(kq, sizes, kq, sizes, cap=s)
+            )
+        _force(*[o[0] for o in outs])
+        dt = time.perf_counter() - t0
+        best = max(best, n * n * iters / dt)
+    return best
+
+
 def bench_triangle(n=8192, s=1000):
     """Ranked streamed-triangle rate (lower-triangle pairs/s).
 
@@ -519,6 +551,8 @@ def _child_tpu():
          lambda: round(bench_triangle(), 1)),
         ("pairwise_dists_per_sec", 90,
          lambda: round(bench_pairwise(), 1)),
+        ("pairwise_ranked_pairs_per_sec", 90,
+         lambda: round(bench_pairwise_ranked(), 1)),
         ("screen_bases_per_sec", 90,
          lambda: round(bench_screen(), 1)),
         ("end_to_end_reads_gz_bases_per_sec", 120,
@@ -618,6 +652,9 @@ def _cumulative(values, extras, degraded, timings):
         ),
         "pairwise_vs_baseline": rel(
             "pairwise_dists_per_sec", "pairwise_pairs_per_sec"
+        ),
+        "pairwise_ranked_pairs_per_sec": values.get(
+            "pairwise_ranked_pairs_per_sec"
         ),
         "screen_bases_per_sec": values.get("screen_bases_per_sec"),
         "screen_vs_baseline": rel(

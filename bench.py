@@ -292,12 +292,15 @@ def bench_screen_e2e(H=1_000_000):
     )
     params = default_nucleotide_params()
     s = 1000
+    # ONE fold across passes: rebuilding it per pass re-jits the
+    # deferred big-DB step + per-shape hash fns, hiding the steady
+    # rate behind executable loads (pass 1 warms, pass 2 measures;
+    # count accumulation across passes does not change the work).
+    fold, counts, fin = screen_ops.make_screen_fold_auto(
+        params, db, s
+    )
     best = 0.0
     for _ in range(2):
-        tunnel.new_transfer_epoch()
-        fold, counts, fin = screen_ops.make_screen_fold_auto(
-            params, db, s
-        )
         state = sketch_ops.empty_state(s)
         t0 = time.perf_counter()
         counts, state, saw = stream_fold_fast(

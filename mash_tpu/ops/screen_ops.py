@@ -283,6 +283,26 @@ class BigDBCounter:
         self.rw = rw or ps.RW
         self.db_np = np.asarray(db_hashes, np.uint64)
         H = len(self.db_np)
+        if wblk is None and rw is None and H > 0:
+            # Small-H autoscale: with the default windows the
+            # certificate math (below) caps the batch at
+            # ~212*H/(128*chunk_len) chunks — K=1 for H ~ 1e6, paying
+            # the flush's fixed costs (sort ramp, offsets, grid) per
+            # single chunk (~6x slower than the K=15 regime measured at
+            # H=1e7).  Wider windows are cheap at small H (tile count
+            # T = H/D is small; per-tile compute scales with rw only,
+            # wblk just widens the two copied window blocks), so scale
+            # them until the batch reaches ~12 chunks.  wblk stays a
+            # power of two: count_batch requires the slab length to be
+            # a multiple of wblk*128, and chunk_len is a power of two.
+            for wb, rwx in ((32, 8), (64, 12), (128, 20)):
+                target = min(
+                    self.rw * 128 - 300, (self.wblk * 128 - 300) // 8
+                )
+                if (target * H) // (128 * chunk_len) >= 12:
+                    break
+                if wb > self.wblk:
+                    self.wblk, self.rw = wb, rwx
         self.mesh = (
             mesh
             if mesh is not None and mesh.devices.size > 1

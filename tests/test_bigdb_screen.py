@@ -396,3 +396,54 @@ def test_bigdb_counter_mesh_fallback_stays_exact():
     got = counter.finalize()
     np.testing.assert_array_equal(got, _expected_counts(db, [(h, v)]))
     assert counter.fallback_count() >= 1
+
+
+def test_bigdb_small_h_window_autoscale():
+    """Default windows widen for small H so batches stay >= ~12 chunks
+    (K=1 pays the flush's fixed costs per single chunk)."""
+    params = default_nucleotide_params()
+    db1 = np.arange(1, 1_000_001, dtype=np.uint64)
+    c1 = BigDBCounter(params, db1, s=100)
+    assert c1.wblk == 128 and c1.rw == 20
+    assert c1.K >= 12
+    db2 = np.arange(1, 10_000_001, 7, dtype=np.uint64)
+    c2 = BigDBCounter(params, db2, s=100)
+    assert c2.K >= 12
+    # H ~ 1.4e6 still needs widening; H = 1e7 does not
+    db3 = np.arange(1, 10_000_001, dtype=np.uint64)
+    c3 = BigDBCounter(params, db3, s=100)
+    assert (c3.wblk, c3.rw) == (16, 4) and c3.K >= 12
+    # explicit window args are never overridden
+    c4 = BigDBCounter(params, db1, s=100, wblk=4, rw=2, d_tile=256)
+    assert (c4.wblk, c4.rw) == (4, 2)
+
+
+def test_bigdb_counts_exact_at_widened_windows():
+    """The kernel stays exact at the autoscale's widest windows
+    (wblk=128, rw=20); chunk_len must be a multiple of wblk*128."""
+    rng = np.random.default_rng(97)
+    db = np.unique(
+        rng.integers(0, 2**63, size=2000, dtype=np.int64).astype(
+            np.uint64
+        )
+    )
+    chunk_len = 128 * 128
+    h = rng.integers(0, 2**63, size=chunk_len, dtype=np.int64).astype(
+        np.uint64
+    )
+    take = rng.choice(len(db), size=chunk_len // 4)
+    h[: chunk_len // 4] = db[take]
+    rng.shuffle(h)
+    v = rng.random(chunk_len) < 0.8
+
+    params = default_nucleotide_params()
+    counter = BigDBCounter(
+        params, db, s=100, chunk_len=chunk_len,
+        d_tile=256, wblk=128, rw=20,
+    )
+    counter.add(jnp.asarray(h), jnp.asarray(v))
+    got = counter.finalize()
+    np.testing.assert_array_equal(
+        got, _expected_counts(db, [(h, v)])
+    )
+    assert counter.fallback_count() == 0

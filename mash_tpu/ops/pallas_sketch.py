@@ -336,10 +336,22 @@ def _kernel(bytes_ref, out_ref, *, C, SR, k, seed, use64,
             jnp.where(keyb == cur, lane, BIG), axis=1, keepdims=True
         )
         sel = lane == pos  # one-hot [SR, C]
+        # The selection key IS the extracted hash's key half (hi in
+        # 64-bit mode, the whole hash in 32-bit mode), so that half
+        # unbiases straight out of ``cur`` — only the OTHER half needs
+        # a one-hot extraction sum.  Exhausted rounds (cur == MAXK)
+        # yield a garbage value either way; vals == 0 discards them.
         # NB: dtype=int32 — a default jnp.sum accumulator is i64 under
         # x64, which Mosaic cannot lower
-        his.append(jnp.sum(jnp.where(sel, hh, _I0), axis=1, dtype=jnp.int32))
-        los.append(jnp.sum(jnp.where(sel, hl, _I0), axis=1, dtype=jnp.int32))
+        ext_key = cur[:, 0] ^ _SIGN32
+        if use64:
+            his.append(ext_key)
+            los.append(
+                jnp.sum(jnp.where(sel, hl, _I0), axis=1, dtype=jnp.int32)
+            )
+        else:
+            his.append(jnp.zeros_like(ext_key))
+            los.append(ext_key)
         # Candidate validity derives from the extracted key: invalid
         # lanes carry MAXK, and re-extracted (exhausted) lanes see MAXK
         # too, so they report 0.  A *valid* window whose key genuinely

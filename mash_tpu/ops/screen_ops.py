@@ -301,7 +301,9 @@ class BigDBCounter:
                 )
                 if (target * H) // (128 * chunk_len) >= 12:
                     break
-                if wb > self.wblk:
+                # flush slabs are K*chunk_len long and must stay a
+                # multiple of wblk*128 (count_batch's slab constraint)
+                if wb > self.wblk and chunk_len % (wb * 128) == 0:
                     self.wblk, self.rw = wb, rwx
         self.mesh = (
             mesh

@@ -416,6 +416,15 @@ def test_bigdb_small_h_window_autoscale():
     # explicit window args are never overridden
     c4 = BigDBCounter(params, db1, s=100, wblk=4, rw=2, d_tile=256)
     assert (c4.wblk, c4.rw) == (4, 2)
+    # widening stops where chunk_len stops dividing by wblk*128
+    # (flush slabs are K*chunk_len and must stay wblk*128-aligned):
+    # 1<<13 divides by 64*128 but not 128*128, so H=5000 (which wants
+    # the widest windows) stops at (64, 12)
+    c5 = BigDBCounter(
+        params, np.arange(1, 5001, dtype=np.uint64), s=100,
+        chunk_len=1 << 13,
+    )
+    assert (c5.wblk, c5.rw) == (64, 12)
 
 
 def test_bigdb_counts_exact_at_widened_windows():

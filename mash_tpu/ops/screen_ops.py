@@ -364,8 +364,20 @@ class BigDBCounter:
         # H (not H/n_dev) is right even sharded: a shard holds 1/n_dev
         # of the hashes over 1/n_dev of the value range, so the batch
         # slice per 128-hash subrow has the same expectation.
+        #
+        # HBM guard: at RefSeq scale the resident set (DB planes +
+        # counts) plus the flush's sort transients (~3x slab) must
+        # share one chip — K=157 slabs (1.26 GiB) RESOURCE_EXHAUSTED
+        # at H=1e8 on a v5e core (2026-08-19 bench).  Cap slab bytes
+        # at MASH_TPU_BIGDB_SLAB_MB (default 512 MiB = 64 chunks at
+        # the default chunk_len); per-chunk fixed costs are already
+        # ~1/64th amortized, so deeper batches gain almost nothing.
+        slab_cap = int(
+            os.environ.get("MASH_TPU_BIGDB_SLAB_MB", "512")
+        ) << 20
+        kcap = max(12, slab_cap // (chunk_len * 8))
         self.K = int(
-            min(192, max(1, (target * H) // (128 * chunk_len)))
+            min(kcap, max(1, (target * H) // (128 * chunk_len)))
         )
         # Active chunks per flush: halved whenever a batch trips the
         # coverage certificate (high-multiplicity streams cluster

@@ -33,8 +33,9 @@ Metrics:
 - sketch_bases_per_sec (primary): device sketch fold throughput.
 - end_to_end_bases_per_sec: full CLI ``sketch`` of a 256 Mbase FASTA —
   parse + pack + host->device transfer + fold.
-- upload_mib_per_sec: fresh-epoch H2D rate — the tunnel ceiling that
-  bounds every end-to-end figure here (a real host's PCIe is ~50x).
+- upload_mib_per_sec: H2D rate — the tunnel ceiling that bounds every
+  end-to-end figure here (a real host's PCIe is ~50x); d2h_mib_per_sec
+  likewise bounds the streamed-triangle readback.
 - pairwise_dists_per_sec, screen_*, triangle_*: kernel + e2e rates.
 """
 
@@ -194,21 +195,27 @@ def _e2e_fastq_gz(n_reads=700_000, rl=150):
 
 
 def bench_end_to_end():
-    """Full ``sketch`` pipeline via the fast-ingest path (best of 2)."""
+    """Full ``sketch`` pipeline via the fast-ingest path.
+
+    Pass 1 is emitted separately as the COLD rate (executable loads +
+    first dispatches — the reference's actual one-shot CLI UX); the
+    returned warm rate is best of the next 2 passes (r4 verdict #8).
+    """
     from mash_tpu.core.engine import SketchEngine
     from mash_tpu.core.loader import _sketch_file_fast
     from mash_tpu.core.params import default_nucleotide_params
 
     path, total = _e2e_fasta()
     engine = SketchEngine(default_nucleotide_params())
-    best = 0.0
-    for _ in range(2):
+    rates = []
+    for _ in range(3):
         t0 = time.perf_counter()
         ref, _state, _count, _sk = _sketch_file_fast(engine, path)
         dt = time.perf_counter() - t0
         assert len(ref.hashes) == 1000
-        best = max(best, total / dt)
-    return best
+        rates.append(total / dt)
+    _emit("end_to_end_cold_bases_per_sec", round(rates[0], 1))
+    return max(rates[1:])
 
 
 def bench_end_to_end_reads_gz():
@@ -222,14 +229,17 @@ def bench_end_to_end_reads_gz():
     params = default_nucleotide_params()
     params.reads = True
     engine = SketchEngine(params)
-    best = 0.0
+    rates = []
     for _ in range(2):
         t0 = time.perf_counter()
         ref, _st, _c, _sk = _sketch_reads_fast(engine, [path], path)
         dt = time.perf_counter() - t0
         assert len(ref.hashes) == 1000
-        best = max(best, total / dt)
-    return best
+        rates.append(total / dt)
+    _emit(
+        "end_to_end_reads_gz_cold_bases_per_sec", round(rates[0], 1)
+    )
+    return rates[-1]
 
 
 def bench_screen_bigdb(H=10_000_000, iters=2):
@@ -299,7 +309,7 @@ def bench_screen_e2e(H=1_000_000):
     fold, counts, fin = screen_ops.make_screen_fold_auto(
         params, db, s
     )
-    best = 0.0
+    rates = []
     for _ in range(2):
         state = sketch_ops.empty_state(s)
         t0 = time.perf_counter()
@@ -310,8 +320,11 @@ def bench_screen_e2e(H=1_000_000):
         _force(state[0])
         dt = time.perf_counter() - t0
         assert saw and c.shape[0] == len(db)
-        best = max(best, total / dt)
-    return best
+        rates.append(total / dt)
+    # pass 1 = cold (first flush compiles/loads; the fold build cost
+    # sits just above in this function) — real one-shot CLI latency
+    _emit("screen_e2e_cold_bases_per_sec", round(rates[0], 1))
+    return rates[-1]
 
 
 def bench_pairwise_ranked(n=2048, s=1000, iters=5):
@@ -381,8 +394,8 @@ def bench_triangle(n=8192, s=1000):
 
 
 def bench_upload(nbytes=96 << 20, pieces=8):
-    """Fresh-epoch H2D upload rate — the transfer ceiling that bounds
-    every end-to-end path through the dev tunnel (bytes/s)."""
+    """H2D upload rate — the transfer ceiling that bounds every
+    end-to-end path through the dev tunnel (bytes/s)."""
     import jax
 
     from mash_tpu.utils import tunnel
@@ -405,6 +418,33 @@ def bench_upload(nbytes=96 << 20, pieces=8):
         del ds
         best = max(best, nbytes / dt)
     return best
+
+
+def bench_d2h(nbytes=32 << 20, iters=2):
+    """D2H readback rate (MiB/s) — the streamed-triangle bound on the
+    dev tunnel.  Emitted in the same run as the triangle metric so a
+    slow link window is visible in the artifact itself (r4 verdict #3:
+    the 4.18M driver capture vs 6.1M session spread was otherwise
+    unattributable)."""
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    a = jax.device_put(
+        np.random.default_rng(7).integers(
+            0, 255, size=nbytes, dtype=np.uint8
+        ),
+        dev,
+    )
+    float(jnp.sum(a[:8].astype(jnp.float32)))  # force residency
+    best = 0.0
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        h = np.asarray(a)  # full-array fetch — inherently forced
+        dt = time.perf_counter() - t0
+        assert h.shape[0] == nbytes
+        best = max(best, nbytes / dt)
+    return best / 2**20
 
 
 def bench_screen(db_size=2048, chunk_len=1 << 20, iters=8):
@@ -550,6 +590,11 @@ def _child_tpu():
          lambda: round(bench_upload() / 2**20, 1)),
         ("end_to_end_bases_per_sec", 120,
          lambda: round(bench_end_to_end(), 1)),
+        # observed D2H rate immediately before the triangle bench so
+        # the artifact shows whether a slow link window (not the
+        # pipeline) bounded the triangle number
+        ("d2h_mib_per_sec", 60,
+         lambda: round(bench_d2h(), 1)),
         ("triangle_ranked_pairs_per_sec", 180,
          lambda: round(bench_triangle(), 1)),
         ("pairwise_dists_per_sec", 90,
@@ -584,15 +629,22 @@ def _child_fixtures():
 
 def _child_bigdb():
     _handshake()
-    rate, nfb = bench_screen_bigdb()
-    _emit("screen_bigdb_1e7_hashes_per_sec", round(rate, 1),
-          fallbacks=nfb)
-    # RefSeq-scale point (H=1e8): regression-guards the documented
-    # H-independence of the big-DB tier (docs/tpu-design.md).
-    if not _skip_if_late("screen_bigdb_1e8_hashes_per_sec", 300):
+    # RefSeq-scale point (H=1e8) runs FIRST: it is the one tier the
+    # round-4 captures never proved (timeouts), so a budget overrun
+    # must cost the already-proven 1e7 point instead (r4 verdict #1).
+    # It regression-guards the documented H-independence of the big-DB
+    # tier and the round-4 HBM slab cap (docs/tpu-design.md).
+    try:
         rate8, nfb8 = bench_screen_bigdb(H=100_000_000, iters=1)
         _emit("screen_bigdb_1e8_hashes_per_sec", round(rate8, 1),
               fallbacks=nfb8)
+    except Exception as e:
+        _emit("screen_bigdb_1e8_hashes_per_sec", None,
+              err="%s: %s" % (type(e).__name__, str(e)[:200]))
+    if not _skip_if_late("screen_bigdb_1e7_hashes_per_sec", 240):
+        rate, nfb = bench_screen_bigdb()
+        _emit("screen_bigdb_1e7_hashes_per_sec", round(rate, 1),
+              fallbacks=nfb)
 
 
 _GROUPS = [
@@ -638,7 +690,29 @@ def _cumulative(values, extras, degraded, timings):
 
     def rel(key, bkey):
         v = values.get(key)
-        return round(v / base[bkey], 3) if v else None
+        # `is not None`, not truthiness: a measured 0.0 must report as
+        # 0, distinguishable from a skipped metric (ADVICE r4)
+        return round(v / base[bkey], 3) if v is not None else None
+
+    def frac(num, den):
+        return (
+            round(num / den, 3)
+            if num is not None and den
+            else None
+        )
+
+    upload = values.get("upload_mib_per_sec")
+    # 2-bit + validity-mask packing ships 0.375 bytes/base, so the
+    # tunnel's upload rate bounds end-to-end sketch at
+    # upload_bytes_per_sec / 0.375 (docs/tpu-design.md, r4)
+    upload_roofline_bases = (
+        upload * 2**20 / 0.375 if upload else None
+    )
+    ranked = values.get("pairwise_ranked_pairs_per_sec")
+    # stripe geometry overcomputes ~1.25x (pad/upper-triangle) on the
+    # ranked kernel, so the in-run kernel-side triangle ceiling is
+    # ranked/1.25 (docs/tpu-design.md roofline, r4)
+    tri_ceiling = ranked / 1.25 if ranked else None
 
     secondary = {
         "end_to_end_bases_per_sec": values.get(
@@ -647,8 +721,18 @@ def _cumulative(values, extras, degraded, timings):
         "end_to_end_vs_baseline": rel(
             "end_to_end_bases_per_sec", "sketch_bases_per_sec"
         ),
+        "end_to_end_cold_bases_per_sec": values.get(
+            "end_to_end_cold_bases_per_sec"
+        ),
+        "e2e_fraction_of_upload_roofline": frac(
+            values.get("end_to_end_bases_per_sec"),
+            upload_roofline_bases,
+        ),
         "end_to_end_reads_gz_bases_per_sec": values.get(
             "end_to_end_reads_gz_bases_per_sec"
+        ),
+        "end_to_end_reads_gz_cold_bases_per_sec": values.get(
+            "end_to_end_reads_gz_cold_bases_per_sec"
         ),
         "pairwise_dists_per_sec": values.get(
             "pairwise_dists_per_sec"
@@ -675,11 +759,17 @@ def _cumulative(values, extras, degraded, timings):
         "screen_bigdb_fallbacks": extras.get(
             "screen_bigdb_1e7_hashes_per_sec.fallbacks"
         ),
+        "screen_bigdb_1e8_fallbacks": extras.get(
+            "screen_bigdb_1e8_hashes_per_sec.fallbacks"
+        ),
         "screen_e2e_bases_per_sec": values.get(
             "screen_e2e_bases_per_sec"
         ),
         "screen_e2e_vs_baseline": rel(
             "screen_e2e_bases_per_sec", "screen_bases_per_sec"
+        ),
+        "screen_e2e_cold_bases_per_sec": values.get(
+            "screen_e2e_cold_bases_per_sec"
         ),
         "triangle_ranked_pairs_per_sec": values.get(
             "triangle_ranked_pairs_per_sec"
@@ -687,6 +777,10 @@ def _cumulative(values, extras, degraded, timings):
         "triangle_vs_baseline": rel(
             "triangle_ranked_pairs_per_sec", "pairwise_pairs_per_sec"
         ),
+        "triangle_fraction_of_kernel_ceiling": frac(
+            values.get("triangle_ranked_pairs_per_sec"), tri_ceiling
+        ),
+        "d2h_mib_per_sec": values.get("d2h_mib_per_sec"),
         "upload_mib_per_sec": values.get("upload_mib_per_sec"),
         "baseline_cpu_single_core": base,
         "baseline_source": base_src,
@@ -711,7 +805,9 @@ def _cumulative(values, extras, degraded, timings):
         "value": v,
         "unit": "bases/s",
         "vs_baseline": (
-            round(v / base["sketch_bases_per_sec"], 3) if v else None
+            round(v / base["sketch_bases_per_sec"], 3)
+            if v is not None
+            else None
         ),
         "secondary": secondary,
     }

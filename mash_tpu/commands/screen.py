@@ -292,9 +292,10 @@ class CommandScreen(Command):
         k = params.kmer_size
         from mash_tpu.utils import tunnel
 
-        # Fresh transfer epoch before the DB upload + read streaming
-        # (the dev tunnel's H2D path is ~40x slower after any prior
-        # readback); everything device-resident is created below.
+        # Connection-state hygiene before the DB upload + read
+        # streaming (not a performance mechanism — see
+        # utils/tunnel.py); everything device-resident is created
+        # below.
         tunnel.new_transfer_epoch()
         fold, counts, finalize_counts = screen_ops.make_screen_fold_auto(
             params, db_hashes, s

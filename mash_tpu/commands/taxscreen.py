@@ -221,9 +221,9 @@ class CommandTaxScreen(Command):
         k = params.kmer_size
         from mash_tpu.utils import tunnel
 
-        # Fresh transfer epoch before the DB upload + read streaming
-        # (same reasoning as CommandScreen: the dev tunnel's H2D path
-        # is ~40x slower after any prior readback)
+        # Connection-state hygiene before the DB upload + read
+        # streaming (same note as CommandScreen; not a performance
+        # mechanism — see utils/tunnel.py)
         tunnel.new_transfer_epoch()
         fold, counts_dev, finalize_counts = (
             screen_ops.make_screen_fold_auto(params, db_hashes, s)

@@ -117,9 +117,9 @@ def _sketch_paths_fast(engine: SketchEngine, paths: List[str]):
     from mash_tpu.io.ingest import IngestPipeline
     from mash_tpu.utils import tunnel
 
-    # Fresh transfer epoch: the dev tunnel's H2D path degrades ~40x
-    # after any readback (e.g. the previous file's state_to_ref); all
-    # prior device state is host-side here, so the reset is free.
+    # Connection-state hygiene at the file boundary (not a performance
+    # mechanism — see utils/tunnel.py); all prior device state is
+    # host-side here, so the reset is free.
     tunnel.new_transfer_epoch()
 
     p = engine.params

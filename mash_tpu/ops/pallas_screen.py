@@ -200,9 +200,10 @@ def count_batch_cond(
     """Like :func:`count_batch`, but the certificate never reaches the
     host: a failed batch routes to the exact sort tier *on device* via
     ``lax.cond``.  Mid-stream ``bool(ok)`` readbacks stall the dispatch
-    pipeline on any hardware (and permanently poison the dev tunnel's
-    fast H2D path — see ``utils/tunnel.py``); this variant keeps the
-    whole stream readback-free, at the cost of forgoing the host-side
+    pipeline on any hardware (through the dev tunnel each forced sync
+    also pays the ~40 ms round-trip floor, serializing flushes); this
+    variant keeps the whole stream readback-free, at the cost of
+    forgoing the host-side
     ``k_eff`` batch adaptation (certificate failures are statistically
     unreachable for MurmurHash-uniform data, and the exact tier keeps
     pathological batches correct).

@@ -407,8 +407,8 @@ class BigDBCounter:
         # Deferred certificates (default): the per-flush coverage check
         # stays on device (lax.cond routes failed batches to the exact
         # tier there) and is read back ONCE at finalize — a per-flush
-        # ``bool(ok)`` sync would stall the dispatch pipeline and
-        # poison the dev tunnel's fast H2D path after the first flush.
+        # ``bool(ok)`` sync would stall the dispatch pipeline (and on
+        # the dev tunnel pay a ~40 ms round-trip floor per flush).
         # Eager mode (readback per flush + k_eff batch adaptation)
         # remains for debugging/adaptive use: ``deferred=False`` or
         # MASH_TPU_BIGDB_EAGER=1.
@@ -540,6 +540,21 @@ class BigDBCounter:
                     # still live after a failed compile)
                     import sys
 
+                    # If the jitted step failed DURING execution (e.g.
+                    # RESOURCE_EXHAUSTED mid-run) the donated counts
+                    # buffer is gone and the accumulated tallies are
+                    # unrecoverable — surface the original error with
+                    # context instead of a confusing secondary
+                    # use-after-donate crash in the recovery below.
+                    if getattr(
+                        self.counts, "is_deleted", lambda: False
+                    )():
+                        raise RuntimeError(
+                            "big-DB deferred flush failed after its "
+                            "inputs were donated; accumulated counts "
+                            "are lost — rerun (MASH_TPU_BIGDB_EAGER=1 "
+                            "forces per-flush certificates)"
+                        ) from e
                     sys.stderr.write(
                         "WARNING: deferred big-DB flush unavailable "
                         "(%s: %s); using per-flush certificates.\n"

@@ -1,27 +1,25 @@
-"""Transfer-epoch management for the axon TPU tunnel.
+"""Connection-state hook for the axon TPU tunnel.
 
 The development/CI environment reaches its TPU through a remote tunnel
-("axon") whose host->device transfer path has two regimes, measured in
-``scripts/profile_tunnel.py``:
+("axon").  Round 3 believed the tunnel's H2D path had a fast regime
+(~1.2-1.6 GiB/s) that a device->host readback permanently degraded
+~40x, and that ``axon_reset()`` restored it.  Round 4's honest
+re-measurement (every timing forced to a scalar fetch that
+data-depends on the outputs — ``jax.block_until_ready`` is an async
+ACK on this tunnel and returns before remote execution) **retracted
+that model**: the H2D path is simply a ~20-38 MiB/s link with no
+fast/slow regimes; resets and prior readbacks change nothing.  See
+``docs/tpu-design.md`` ("The dev tunnel, measured honestly") and
+``scripts/profile_tunnel.py``.
 
-- **fresh epoch**: back-to-back ``jax.device_put`` sustains
-  ~1.2-1.6 GiB/s;
-- **post-readback**: after the first successful device->host fetch the
-  H2D path permanently degrades to ~29 MiB/s for the remainder of the
-  connection (any transfer size; it never recovers on its own).
-
-The tunnel's client library exports ``axon_reset()`` which drops the
-connection-level state and restores the fast H2D path.  The reset
-invalidates every live device buffer (subsequent use raises
-``FAILED_PRECONDITION: buffer allocated before axon reset``) but
-compiled executables survive and run correctly on freshly uploaded
-inputs.
-
-``new_transfer_epoch()`` wraps this: callers invoke it at clean phase
-boundaries — after all results of the previous phase have been read
-back to host and before the next phase's uploads — to keep bulk
-uploads on the fast path.  On real TPU pods (no tunnel) and on CPU it
-is a no-op, so production code can call it unconditionally.
+``new_transfer_epoch()`` is therefore **not a performance mechanism**.
+It is retained as a no-op-safe hygiene hook around the tunnel's
+``axon_reset()`` (drops connection-level state; invalidates every live
+device buffer — subsequent use raises ``FAILED_PRECONDITION`` — while
+compiled executables survive).  Callers only invoke it at clean phase
+boundaries where no device state is live.  On real TPU pods (no
+tunnel) and on CPU it is a no-op, so production code can call it
+unconditionally.
 
 This is infrastructure for the *development tunnel only*; nothing in
 the sketching algorithms depends on it.  The reference codebase has no
@@ -75,7 +73,8 @@ def available() -> bool:
 
 
 def new_transfer_epoch() -> bool:
-    """Start a fresh transfer epoch (restores fast H2D uploads).
+    """Drop the tunnel's connection-level state (hygiene hook only —
+    NOT a performance mechanism; see the module docstring).
 
     DANGER: every live device buffer dies.  Call only at phase
     boundaries where all device state has been read back (or can be

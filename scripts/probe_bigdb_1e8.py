@@ -32,6 +32,17 @@ def stats(tag):
     )
 
 
+def force(*arrays):
+    """Honest completion: fetch a scalar that data-depends on every
+    array (block_until_ready is an async ACK on the dev tunnel)."""
+    import jax.numpy as jnp
+
+    flat = jnp.concatenate(
+        [jnp.asarray(a).ravel()[:1].astype(jnp.float32) for a in arrays]
+    )
+    return float(jnp.sum(flat))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -73,14 +84,14 @@ def main():
         hs[j, : n // 4] = db[rng.choice(len(db), size=n // 4)]
     hds = [jnp.asarray(hs[j]) for j in range(ndist)]
     vd = jnp.asarray(np.ones(n, dtype=bool))
-    jax.block_until_ready(hds)
+    force(*hds)
     stats("chunks uploaded")
 
     t0 = time.perf_counter()
     counter.add(hds[0], vd)
     counter.flush()
-    jax.block_until_ready(counter.counts)
-    print("first flush (compile) %.1fs" % (time.perf_counter() - t0),
+    force(counter.counts)
+    print("first flush (compile+exec, forced) %.1fs" % (time.perf_counter() - t0),
           flush=True)
     stats("after first flush")
 
@@ -89,10 +100,10 @@ def main():
     for i in range(nch):
         counter.add(hds[i % ndist], vd)
     counter.flush()
-    jax.block_until_ready(counter.counts)
+    force(counter.counts)
     dt = time.perf_counter() - t0
     print(
-        "steady: %.1fM hashes/s  fallbacks=%d"
+        "steady (forced): %.1fM hashes/s  fallbacks=%d"
         % (nch * n / dt / 1e6, counter.fallback_count()),
         flush=True,
     )

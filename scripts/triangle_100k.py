@@ -4,7 +4,7 @@ Drives the production streamed-triangle path (rank compression, packed
 uint16 readback, native %.6g formatter) over 100,000 synthetic s=1000
 64-bit sketches and reports wall-clock + pairs/s.  Round-2 measured
 1618 s (~27 min, 3.1 M pairs/s); the round-3 target is < 20 min warm
-via transfer epochs + the common-only uint16 readback.
+via the common-only uint16 readback + the deep stripe pipeline.
 
 Usage:  python scripts/triangle_100k.py [N]     (default 100000)
 Output goes to /dev/null; progress + timing to stderr.

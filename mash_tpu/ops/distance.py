@@ -436,6 +436,16 @@ def stream_pair_stripes(
                         Hq, Nq, Hr, Nr, np.int32(i0), np.int32(ri)
                     )
                 )
+        # Start the D2H transfers now so they overlap device compute
+        # of later stripes: serial np.asarray at materialize pays a
+        # ~40 ms round trip PER TILE through the dev tunnel, while
+        # pre-announced copies stream back-to-back (measured 2x
+        # effective D2H, scripts/profile_d2h_strategies.py, r5).
+        for t in tiles:
+            try:
+                t.copy_to_host_async()
+            except Exception:
+                break  # backend without async host copies
         return i0, rows, cols, tiles
 
     def materialize(item):

@@ -369,11 +369,16 @@ class BigDBCounter:
         # counts) plus the flush's sort transients (~3x slab) must
         # share one chip — K=157 slabs (1.26 GiB) RESOURCE_EXHAUSTED
         # at H=1e8 on a v5e core (2026-08-19 bench).  Cap slab bytes
-        # at MASH_TPU_BIGDB_SLAB_MB (default 512 MiB = 64 chunks at
-        # the default chunk_len); per-chunk fixed costs are already
-        # ~1/64th amortized, so deeper batches gain almost nothing.
+        # at MASH_TPU_BIGDB_SLAB_MB.  The per-FLUSH cost has a
+        # component proportional to H (tile walk + subrow offsets), so
+        # H=1e8 throughput tracks the batch/H ratio almost linearly:
+        # 18.0M hashes/s at 512 MiB (K=64, batch 0.64*H), 27.0M at
+        # 768 MiB (K=96), 32.4M at 1024 MiB (K=128), all fallback-free
+        # (r5 probes, scripts/probe_bigdb_1e8.py + bench_results/).
+        # Default 1024 MiB — the largest probe-proven size on a v5e
+        # core (1.26 GiB OOMs; the next step would gain only ~5%).
         slab_cap = int(
-            os.environ.get("MASH_TPU_BIGDB_SLAB_MB", "512")
+            os.environ.get("MASH_TPU_BIGDB_SLAB_MB", "1024")
         ) << 20
         kcap = max(12, slab_cap // (chunk_len * 8))
         self.K = int(

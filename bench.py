@@ -253,13 +253,19 @@ def bench_screen_bigdb(H=10_000_000, iters=2):
     from mash_tpu.core.params import default_nucleotide_params
     from mash_tpu.ops.screen_ops import BigDBCounter
 
+    phases = {}
+    t0 = time.perf_counter()
     rng = np.random.default_rng(2)
     db = np.unique(
         rng.integers(0, 2**63, size=H, dtype=np.int64).astype(
             np.uint64
         )
     )
+    phases["db_gen_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
     counter = BigDBCounter(default_nucleotide_params(), db, s=1000)
+    phases["ctor_upload_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
     n = 1 << 20
     ndist = 16  # cycle distinct chunks: repeating one chunk K times
     # would inflate per-value multiplicity and trip the certificate
@@ -270,9 +276,12 @@ def bench_screen_bigdb(H=10_000_000, iters=2):
         hs[j, : n // 4] = db[rng.choice(len(db), size=n // 4)]
     hds = [jnp.asarray(hs[j]) for j in range(ndist)]
     vd = jnp.asarray(np.ones(n, dtype=bool))
+    phases["chunks_s"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
     counter.add(hds[0], vd)
     counter.flush()
     _force(counter.counts)  # forced compile + execute
+    phases["first_flush_s"] = round(time.perf_counter() - t0, 1)
     nch = iters * counter.K
     t0 = time.perf_counter()
     for i in range(nch):
@@ -280,7 +289,8 @@ def bench_screen_bigdb(H=10_000_000, iters=2):
     counter.flush()
     _force(counter.counts)  # counts chain through every flush
     dt = time.perf_counter() - t0
-    return nch * n / dt, counter.fallback_count()
+    phases["steady_s"] = round(dt, 1)
+    return nch * n / dt, counter.fallback_count(), phases
 
 
 def bench_screen_e2e(H=1_000_000):
@@ -430,17 +440,22 @@ def bench_d2h(nbytes=32 << 20, iters=2):
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
-    a = jax.device_put(
-        np.random.default_rng(7).integers(
-            0, 255, size=nbytes, dtype=np.uint8
-        ),
-        dev,
-    )
-    float(jnp.sum(a[:8].astype(jnp.float32)))  # force residency
+    # ONE device array per iteration: jax.Array caches its fetched
+    # numpy value, so a second np.asarray of the same array returns
+    # instantly (first real-chip run measured an impossible 410 GB/s
+    # from exactly this).  Each array is fetched exactly once.
+    arrs = []
+    rng = np.random.default_rng(7)
+    for i in range(iters):
+        a = jax.device_put(
+            rng.integers(0, 255, size=nbytes, dtype=np.uint8), dev
+        )
+        float(jnp.sum(a[:8].astype(jnp.float32)))  # force residency
+        arrs.append(a)
     best = 0.0
-    for _ in range(iters):
+    for a in arrs:
         t0 = time.perf_counter()
-        h = np.asarray(a)  # full-array fetch — inherently forced
+        h = np.asarray(a)  # first full-array fetch — inherently forced
         dt = time.perf_counter() - t0
         assert h.shape[0] == nbytes
         best = max(best, nbytes / dt)
@@ -635,16 +650,16 @@ def _child_bigdb():
     # It regression-guards the documented H-independence of the big-DB
     # tier and the round-4 HBM slab cap (docs/tpu-design.md).
     try:
-        rate8, nfb8 = bench_screen_bigdb(H=100_000_000, iters=1)
+        rate8, nfb8, ph8 = bench_screen_bigdb(H=100_000_000, iters=1)
         _emit("screen_bigdb_1e8_hashes_per_sec", round(rate8, 1),
-              fallbacks=nfb8)
+              fallbacks=nfb8, **ph8)
     except Exception as e:
         _emit("screen_bigdb_1e8_hashes_per_sec", None,
               err="%s: %s" % (type(e).__name__, str(e)[:200]))
     if not _skip_if_late("screen_bigdb_1e7_hashes_per_sec", 240):
-        rate, nfb = bench_screen_bigdb()
+        rate, nfb, ph7 = bench_screen_bigdb()
         _emit("screen_bigdb_1e7_hashes_per_sec", round(rate, 1),
-              fallbacks=nfb)
+              fallbacks=nfb, **ph7)
 
 
 _GROUPS = [
